@@ -1,0 +1,54 @@
+"""Value-scaled embedding-bag: the universal substrate of every zoo model.
+
+Batch schema (kept from the reference, data_loader.py:20-23):
+  ids:    int32  [B, F]   feature ids per field
+  values: float  [B, F]   per-feature value scale (1.0 for one-hot fields)
+
+lookup(table, ids, values) -> [B, F, E] = table[ids] * values[..., None]
+
+TPU notes:
+  * For large tables, `jnp.take` lowers to a dynamic-gather that XLA executes
+    from HBM; this is the bandwidth-optimal path for nfeat >> B*F.
+  * For tiny tables (nfeat <= ONE_HOT_MAX_ROWS) a one-hot matmul is faster on
+    TPU: it rides the MXU and avoids the gather unit entirely.
+  * The multi-chip row-sharded variant (lookup from a table sharded over the
+    'model' mesh axis with collective combine) lives in
+    armnet_tpu/parallel/embedding_parallel.py.
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["embedding_bag", "scaled_embedding_lookup", "one_hot_embedding_bag"]
+
+# Below this many rows, one-hot matmul beats gather on TPU (table fits VMEM
+# and the MXU does the select). Diabetes130 (369 rows) and similar land here.
+ONE_HOT_MAX_ROWS = 512
+
+
+def one_hot_embedding_bag(table, ids, values):
+    """Embedding-bag as one-hot x table matmul (MXU path for tiny tables)."""
+    nfeat = table.shape[0]
+    oh = jax.nn.one_hot(ids, nfeat, dtype=table.dtype)        # [B, F, nfeat]
+    # HIGHEST precision: a one-hot select must be exact — the default bf16 MXU
+    # pass would silently round the f32 table.
+    emb = jnp.einsum(
+        "bfn,ne->bfe", oh, table,
+        preferred_element_type=table.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    return emb * values[..., None].astype(table.dtype)
+
+
+def embedding_bag(table, ids, values):
+    """Gather rows by id and scale by value: [B, F] -> [B, F, E]."""
+    emb = jnp.take(table, ids, axis=0)                         # [B, F, E]
+    return emb * values[..., None].astype(table.dtype)
+
+
+def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None):
+    """Dispatching embedding-bag: picks the MXU one-hot path for tiny tables."""
+    if use_one_hot is None:
+        use_one_hot = table.shape[0] <= ONE_HOT_MAX_ROWS
+    if use_one_hot:
+        return one_hot_embedding_bag(table, ids, values)
+    return embedding_bag(table, ids, values)

@@ -1,0 +1,197 @@
+"""Shared layer library (flax.linen) — the op substrate of the model zoo.
+
+Re-designed from the behavioral spec of the reference's shared layers
+(/root/reference/models/layers.py:8-182) as functional JAX modules:
+
+  Embedding            value-scaled embedding-bag            (layers.py:8-21)
+  FeaturesLinear       first-order term over fields          (layers.py:24-37)
+  fm_pool              0.5*((sum e)^2 - sum e^2) FM pooling  (layers.py:40-55)
+  MLP                  [Linear->BN->ReLU->Dropout]*L -> Linear (layers.py:68-88)
+  SelfAttnLayer        per-field QKV softmax attention       (layers.py:100-117)
+  MultiHeadAttention   residual + LayerNorm MHA              (layers.py:141-182)
+  triu_indices / all_pair_indices / normalize_adj helpers
+
+Torch-semantics notes baked in:
+  * BatchNorm: eps 1e-5, torch momentum 0.1 == flax momentum 0.9; on a 3-D
+    [B, C, L] input torch normalizes per channel C over (B, L) -> flax axis=1.
+  * nn.Linear default init == U(±1/sqrt(fan_in)) on weight AND bias.
+"""
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armnet_tpu.ops import initializers as init
+from armnet_tpu.ops.embedding import scaled_embedding_lookup
+
+__all__ = [
+    "Embedding", "FeaturesLinear", "fm_pool", "MLP", "BatchNorm",
+    "SelfAttnLayer", "MultiHeadAttention", "triu_indices", "all_pair_indices",
+    "normalize_adj", "TorchLinear",
+]
+
+
+def triu_indices(n, diag_offset=1):
+    """(i, j) index arrays for the strict upper triangle of an (n, n) grid."""
+    return np.triu_indices(n, diag_offset)
+
+
+def all_pair_indices(n):
+    """(i, j) index arrays for all n^2 ordered pairs."""
+    idx = np.arange(n)
+    return np.repeat(idx, n), np.tile(idx, n)
+
+
+def normalize_adj(adj):
+    """Symmetric degree normalization D^-1/2 A D^-1/2 (torch variant parity:
+    /root/reference/models/gcn.py:6-12 — A@D^-1/2, transpose, @D^-1/2)."""
+    rowsum = jnp.sum(adj, axis=-1)
+    d_inv_sqrt = jnp.where(rowsum > 0, jax.lax.rsqrt(jnp.maximum(rowsum, 1e-12)), 0.0)
+    return (adj * d_inv_sqrt[None, :]).T * d_inv_sqrt[None, :]
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch.nn.Linear's default initialization."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", init.torch_linear_uniform(fan_in), (fan_in, self.features)
+        )
+        y = jnp.matmul(x, kernel.astype(x.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", init.torch_linear_uniform(fan_in), (self.features,)
+            )
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch defaults. `channel_axis` is the torch channel dim
+    (normalize over every other axis)."""
+
+    channel_axis: int = -1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis=self.channel_axis,
+            dtype=x.dtype,
+        )(x)
+
+
+class Embedding(nn.Module):
+    """Value-scaled embedding-bag over (field-id, value) records -> [B, F, E]."""
+
+    nfeat: int
+    nemb: int
+
+    @nn.compact
+    def __call__(self, ids, values):
+        table = self.param(
+            "embedding", init.xavier_uniform(), (self.nfeat, self.nemb)
+        )
+        return scaled_embedding_lookup(table, ids, values)
+
+
+class FeaturesLinear(nn.Module):
+    """First-order term: per-feature scalar weight * value, summed over fields."""
+
+    nfeat: int
+
+    @nn.compact
+    def __call__(self, ids, values):
+        weight = self.param("weight", init.xavier_uniform(), (self.nfeat, 1))
+        bias = self.param("bias", init.zeros, (1,))
+        w = jnp.take(weight[:, 0], ids, axis=0)                 # [B, F]
+        return jnp.sum(w * values, axis=1) + bias[0]            # [B]
+
+
+def fm_pool(x, reduce_dim=True):
+    """FM second-order pooling over the field axis of [B, F, E]."""
+    square_of_sum = jnp.square(jnp.sum(x, axis=1))              # [B, E]
+    sum_of_square = jnp.sum(jnp.square(x), axis=1)              # [B, E]
+    fm = square_of_sum - sum_of_square
+    if reduce_dim:
+        fm = jnp.sum(fm, axis=1)                                # [B]
+    return 0.5 * fm
+
+
+class MLP(nn.Module):
+    """nlayers x [Linear -> BatchNorm -> ReLU -> Dropout] -> Linear(noutput).
+
+    nlayers == 0 degenerates to a single Linear (reference layers.py:79)."""
+
+    nlayers: int
+    nhid: int
+    dropout: float = 0.0
+    noutput: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(self.nlayers):
+            x = TorchLinear(self.nhid)(x)
+            x = BatchNorm(channel_axis=-1)(x, train)
+            x = nn.relu(x)
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return TorchLinear(self.noutput)(x)
+
+
+class SelfAttnLayer(nn.Module):
+    """Scaled dot-product self-attention over fields (used by SA-GLU)."""
+
+    nemb: int
+
+    @nn.compact
+    def __call__(self, x):
+        q = TorchLinear(self.nemb, use_bias=False)(x)           # [B, F, E]
+        k = TorchLinear(self.nemb, use_bias=False)(x)
+        v = TorchLinear(self.nemb, use_bias=False)(x)
+        scores = jnp.einsum("bxe,bye->bxy", q, k) / math.sqrt(self.nemb)
+        attn = jax.nn.softmax(scores, axis=-1)                  # [B, F, F]
+        return jnp.einsum("bxy,bye->bxe", attn, v), attn
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with residual + LayerNorm (reference parity for
+    layers.py:141-182; unused by the zoo but part of the public layer API)."""
+
+    nhead: int
+    n_k: int
+    n_v: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        bsz, seq_len, ninput = x.shape
+        q = TorchLinear(self.nhead * self.n_k, use_bias=False)(x)
+        k = TorchLinear(self.nhead * self.n_k, use_bias=False)(x)
+        v = TorchLinear(self.nhead * self.n_v, use_bias=False)(x)
+        q = q.reshape(bsz, seq_len, self.nhead, self.n_k).transpose(0, 2, 1, 3)
+        k = k.reshape(bsz, seq_len, self.nhead, self.n_k).transpose(0, 2, 1, 3)
+        v = v.reshape(bsz, seq_len, self.nhead, self.n_v).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhxe,bhye->bhxy", q / math.sqrt(self.n_k), k)
+        if mask is not None:
+            attn = jnp.where(mask[:, None] == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(rate=0.0, deterministic=not train)(attn)
+        y = jnp.einsum("bhxy,bhye->bhxe", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(bsz, seq_len, -1)
+        y = TorchLinear(ninput, use_bias=False)(y)
+        y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
+        y = y + x
+        y = nn.LayerNorm(epsilon=1e-6)(y)
+        return y, attn
