@@ -1,0 +1,24 @@
+"""Plain DNN: flatten embeddings -> MLP (spec: /root/reference/models/dnn.py)."""
+
+import flax.linen as nn
+
+from armnet_tpu.models.common import split_batch, squeeze_logits
+from armnet_tpu.ops.layers import MLP, Embedding
+
+
+class DNN(nn.Module):
+    nfield: int
+    nfeat: int
+    nemb: int
+    mlp_nlayer: int
+    mlp_nhid: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        ids, values = split_batch(batch)
+        emb = Embedding(self.nfeat, self.nemb, name="embedding")(ids, values)
+        flat = emb.reshape(emb.shape[0], -1)
+        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+                name="mlp")(flat, train)
+        return squeeze_logits(y)

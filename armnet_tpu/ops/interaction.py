@@ -1,0 +1,96 @@
+"""Feature-interaction ops: ARM exponential-neuron cross products, FM/Anova,
+cross layers, compressed interaction — the compute cores the zoo shares.
+
+The ARM pipeline (behavioral spec: /root/reference/models/armnet.py:26-36,86-87
+and armnet_1h.py:25-34,85-86):
+
+  gates   = <emb, bilinear, query> * d_k^-0.5      (per head/neuron/field score)
+  sparse  = entmax_alpha(gates) over the field axis (adaptive field selection)
+  weight  = sparse * values                         (signed exponents)
+  out     = exp(sum_f weight[...,f] * emb[:,f,:])   ("exponential neuron":
+            prod_f exp(e_f)^w_f, a multiplicative cross-feature)
+
+Everything here is jnp (XLA fuses the einsum+exp chains); the fused Pallas
+variant lives in armnet_tpu/kernels/arm_pallas.py and is numerically
+interchangeable (tested against these twins).
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "arm_attention_multihead", "arm_attention_1h", "arm_exp_cross",
+    "anova_kernel", "cross_layer", "compressed_interaction_step",
+]
+
+
+def arm_attention_multihead(emb, bilinear_w, query, values, normalizer):
+    """Multi-head sparse gates: [B,F,E] x [K,E,dk] x [K,O,dk] -> [B,K,O,F].
+
+    Returns entmax-sparsified gates scaled by the learned `values` exponents.
+    """
+    d_k = bilinear_w.shape[-1]
+    gates = jnp.einsum("bfx,kxy,koy->bkof", emb, bilinear_w, query)
+    gates = gates * (d_k ** -0.5)
+    sparse = normalizer(gates)                     # entmax over the field axis
+    return sparse * values[None]                   # [B,K,O,F]
+
+
+def arm_attention_1h(keys, query, values, normalizer):
+    """One-head sparse gates: keys [B,F,dk] x query [O,dk] -> [B,O,F]."""
+    d_k = query.shape[-1]
+    gates = jnp.einsum("bfe,oe->bof", keys, query) * (d_k ** -0.5)
+    sparse = normalizer(gates)
+    return sparse * values[None]                   # [B,O,F]
+
+
+def arm_exp_cross(emb, weight):
+    """Exponential neurons: exp(sum_f w_f * e_f).
+
+    emb [B,F,E], weight [B,...,F] -> [B,...,E]; supports both the one-head
+    ([B,O,F]) and multi-head ([B,K,O,F]) weight layouts.
+    """
+    if weight.ndim == 3:
+        z = jnp.einsum("bfe,bof->boe", emb, weight)
+    elif weight.ndim == 4:
+        z = jnp.einsum("bfe,bkof->bkoe", emb, weight)
+    else:
+        raise ValueError(f"unsupported weight rank {weight.ndim}")
+    return jnp.exp(z)
+
+
+def anova_kernel(x, order):
+    """ANOVA kernel of a given order via the cumsum DP over fields.
+
+    x: [B, F, E]; returns [B] — the order-`order` interaction sum. Matches the
+    recurrence of the reference HOFM (models/hofm.py:10-22): a dynamic program
+    where a[t, j] accumulates all t-way products over fields < j.
+    """
+    bsz, nfield, nemb = x.shape
+    a_prev = jnp.ones((bsz, nfield + 1, nemb), x.dtype)
+    for t in range(order):
+        upd = x[:, t:, :] * a_prev[:, t:-1, :]
+        a = jnp.zeros_like(a_prev).at[:, t + 1:, :].set(upd)
+        a_prev = jnp.cumsum(a, axis=1)
+    return jnp.sum(a_prev[:, -1, :], axis=-1)
+
+
+def cross_layer(x0, x, w, b):
+    """One DCN cross layer: x0 * (x @ w) + b + x (rank-1 explicit cross)."""
+    xw = jnp.matmul(x, w)                          # [B, 1]
+    return x0 * xw + b + x
+
+
+def compressed_interaction_step(x0, xk, filt):
+    """One CIN layer: outer product over field dims -> 1x1 'conv' -> ReLU.
+
+    x0 [B,F,E], xk [B,C,E], filt [F*C, nfilter] -> [B, nfilter, E].
+    The reference's Conv1d(kernel_size=1) is exactly a dense map over the
+    flattened (F*C) channel axis — on TPU we express it as an einsum so the
+    MXU sees one batched matmul.
+    """
+    h = x0[:, :, None, :] * xk[:, None, :, :]      # [B, F, C, E]
+    b, f, c, e = h.shape
+    h = h.reshape(b, f * c, e)
+    out = jnp.einsum("bce,cf->bfe", h, filt)       # [B, nfilter, E]
+    return jax.nn.relu(out)
