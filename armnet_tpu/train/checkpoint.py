@@ -1,0 +1,84 @@
+"""Checkpoint/resume — actually wired into the training loop (the reference
+defines save/load helpers but never calls them from train.py; SURVEY.md §5).
+
+Arrays (params / batch_stats / opt_state / step) go through Orbax
+(sharding-aware, multi-host ready); run metadata goes to a JSON sidecar so the
+restore template never has to guess its structure.
+Layout: {ckpt_dir}/{tag}/ with tag in {'last', 'best'} + {tag}.meta.json.
+Fallback backend: flax msgpack (single-host) when Orbax is unavailable.
+"""
+
+import json
+import os
+import shutil
+
+import jax
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+        return ocp
+    except Exception:
+        return None
+
+
+def _state_pytree(state):
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+
+
+def save_checkpoint(ckpt_dir, state, extra=None, tag="last", is_best=False):
+    """Persist the train-state arrays + a JSON metadata sidecar."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    path = os.path.join(ckpt_dir, tag)
+    payload = jax.device_get(_state_pytree(state))
+    ocp = _orbax()
+    if ocp is not None:
+        ckptr = ocp.StandardCheckpointer()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, payload)
+        ckptr.wait_until_finished()
+    else:  # pragma: no cover
+        from flax import serialization
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(payload))
+    with open(os.path.join(ckpt_dir, f"{tag}.meta.json"), "w") as f:
+        json.dump(extra or {}, f)
+
+    if is_best and tag != "best":
+        best = os.path.join(ckpt_dir, "best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+        shutil.copyfile(os.path.join(ckpt_dir, f"{tag}.meta.json"),
+                        os.path.join(ckpt_dir, "best.meta.json"))
+    return path
+
+
+def load_checkpoint(ckpt_dir, state, tag="last"):
+    """Restore into an existing TrainState template; returns (state, extra)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    path = os.path.join(ckpt_dir, tag)
+    template = jax.device_get(_state_pytree(state))
+    ocp = _orbax()
+    if ocp is not None:
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, target=template)
+    else:  # pragma: no cover
+        from flax import serialization
+        with open(os.path.join(path, "state.msgpack"), "rb") as f:
+            restored = serialization.from_bytes(template, f.read())
+    meta_path = os.path.join(ckpt_dir, f"{tag}.meta.json")
+    extra = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            extra = json.load(f)
+    state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=restored["step"])
+    return state, extra

@@ -1,0 +1,144 @@
+"""Training driver: epoch loop with eval-capped passes, patience-based early
+stopping on validation AUC, per-seed repeats, and wired checkpointing.
+
+Semantics preserved from the reference driver (train.py:53-136):
+  * one run() pass per split per epoch; train/eval mode by optimizer presence;
+  * per-batch loss/AUC AverageMeters, periodic report every `report_freq`;
+  * every split's loop breaks once batch_idx >= eval_freq;
+  * early stop: valid_auc >= best keeps the LATEST tie as best, records the
+    test AUC at the best-valid epoch, stops after `patience` non-improving
+    epochs;
+  * per-seed repeat: seeds [seed, seed+repeat), fresh model+optimizer each.
+
+TPU redesign vs the reference run(): metrics stay on device (one scalar D2H
+per batch), batches are prefetched, and the whole step is one jitted program.
+"""
+
+import time
+
+import jax
+
+from armnet_tpu.models import create_model, param_count
+from armnet_tpu.train.checkpoint import save_checkpoint
+from armnet_tpu.train.step import (create_train_state, init_meters,
+                                   make_eval_step, make_train_step)
+from armnet_tpu.utils.logging import AverageMeter, time_since
+
+__all__ = ["Trainer", "run_epoch"]
+
+
+def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
+              rng=None, namespace="train", report_freq=30, eval_freq=10000,
+              total_epochs=0):
+    """One pass over a loader; returns (state, mean AUC).
+
+    Metrics live on device; the host fetches them only every `report_freq`
+    batches and once at epoch end — the step stream never blocks on a
+    per-batch device->host sync (the reference pays one sklearn round trip
+    per batch; SURVEY.md §3.2 flags it as the throughput killer)."""
+    is_train = train_step is not None
+    meters = init_meters()
+    time_avg = AverageMeter()
+    timestamp = time.time()
+    nbatch = len(loader)
+    fetched = None
+
+    for batch_idx, batch in enumerate(loader):
+        if is_train:
+            state, meters = train_step(state, meters, batch, rng)
+        else:
+            meters = eval_step(state, meters, batch)
+
+        time_avg.update(time.time() - timestamp)
+        timestamp = time.time()
+
+        if batch_idx % report_freq == 0:
+            fetched = jax.device_get(meters)  # amortized sync point
+            w = max(fetched["weight"], 1.0)
+            logger.info(
+                f"Epoch [{epoch:3d}/{total_epochs:3d}][{batch_idx:3d}/{nbatch}]\t"
+                f"{time_avg.val:.3f} ({time_avg.avg:.3f}) "
+                f"AUC {fetched['auc_last']:4f} ({fetched['auc_sum'] / w:4f}) "
+                f"Loss {fetched['loss_last']:8.4f} ({fetched['loss_sum'] / w:8.4f})")
+            timestamp = time.time()
+        if batch_idx >= eval_freq:
+            break
+
+    fetched = jax.device_get(meters)
+    w = max(fetched["weight"], 1.0)
+    mean_auc = fetched["auc_sum"] / w
+    logger.info(f"{namespace}\tTime {time_since(s=time_avg.sum):>12s} "
+                f"AUC {mean_auc:8.4f} Loss {fetched['loss_sum'] / w:8.4f}")
+    return state, float(mean_auc)
+
+
+class Trainer:
+    """Owns model/state construction and the epoch/early-stop loop."""
+
+    def __init__(self, config, train_loader, val_loader, test_loader, logger,
+                 seed=2025, ckpt_dir=None):
+        self.cfg = config
+        self.loaders = (train_loader, val_loader, test_loader)
+        self.logger = logger
+        self.seed = seed
+        self.ckpt_dir = ckpt_dir
+
+        self.model = create_model(config)
+        first = next(iter(train_loader))
+        self.state = create_train_state(
+            self.model, first, lr=config.lr, seed=seed, clip=config.clip)
+        logger.info(f"=> created model {config.model} | parameters: "
+                    f"{param_count(self.state.params)}")
+        self.train_step = make_train_step()
+        self.eval_step = make_eval_step()
+        self.rng = jax.random.key(seed + 7)
+
+    def fit(self, epochs, patience=1, eval_freq=10000, report_freq=30):
+        train_loader, val_loader, test_loader = self.loaders
+        best_valid, best_test, patience_cnt = 0.0, 0.0, 0
+        start = time.time()
+
+        for epoch in range(epochs):
+            self.logger.info(f"Epoch [{epoch:3d}/{epochs:3d}]")
+            self.state, _ = run_epoch(
+                epoch, self.state, train_loader, self.logger,
+                train_step=self.train_step, rng=self.rng,
+                report_freq=report_freq, eval_freq=eval_freq,
+                total_epochs=epochs)
+            _, valid_auc = run_epoch(
+                epoch, self.state, val_loader, self.logger,
+                eval_step=self.eval_step, namespace="val",
+                report_freq=report_freq, eval_freq=eval_freq,
+                total_epochs=epochs)
+            _, test_auc = run_epoch(
+                epoch, self.state, test_loader, self.logger,
+                eval_step=self.eval_step, namespace="test",
+                report_freq=report_freq, eval_freq=eval_freq,
+                total_epochs=epochs)
+
+            if valid_auc >= best_valid:
+                patience_cnt = 0
+                best_valid, best_test = valid_auc, test_auc
+                self.logger.info(
+                    f"best valid auc: valid {valid_auc:.4f}, test {test_auc:.4f}")
+                if self.ckpt_dir:
+                    save_checkpoint(
+                        self.ckpt_dir, self.state,
+                        extra={"epoch": epoch, "valid_auc": float(valid_auc),
+                               "test_auc": float(test_auc),
+                               "seed": self.seed},
+                        is_best=True)
+            else:
+                patience_cnt += 1
+                self.logger.info(f"valid {valid_auc:.4f}, test {test_auc:.4f}")
+                self.logger.info(
+                    f"Early stopped, {patience_cnt}-th best auc at epoch "
+                    f"{epoch - patience_cnt}")
+            if patience_cnt >= patience:
+                self.logger.info(
+                    f"Final best valid auc {best_valid:.4f}, "
+                    f"with test auc {best_test:.4f}")
+                break
+
+        self.logger.info(f"Total running time: {time_since(since=start)}")
+        return best_valid, best_test

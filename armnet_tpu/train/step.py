@@ -1,0 +1,107 @@
+"""Jitted train/eval steps.
+
+Optimizer parity with the reference (train.py:60-66): BCE-with-logits loss,
+elementwise gradient clamp to [-1, 1] *before* Adam (the reference registers
+per-parameter clamp hooks — here it's `optax.clip(1.0)` at the head of the
+chain), Adam with torch defaults (b1=0.9, b2=0.999, eps=1e-8).
+
+BatchNorm batch_stats are threaded through a TrainState extension; dropout
+keys are derived per-step by folding the step counter into a base key.
+"""
+
+from typing import Any
+
+import jax
+import optax
+from flax.training import train_state
+
+from armnet_tpu.train.metrics import masked_bce, masked_roc_auc
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "make_optimizer", "init_meters"]
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_optimizer(lr, clip=1.0):
+    """clip-then-Adam, matching the reference's per-parameter grad clamp."""
+    return optax.chain(optax.clip(clip), optax.adam(lr))
+
+
+def create_train_state(model, batch, lr, seed=0, clip=1.0):
+    """Initialize params/batch_stats and build the optimizer state."""
+    variables = model.init(
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+        {"id": batch["id"], "value": batch["value"]}, train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(lr, clip),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
+def init_meters():
+    """Device-resident metric accumulators. The reference syncs to the host
+    every batch (sklearn AUC, loss.item()); we accumulate on device and fetch
+    only at report/epoch boundaries — critical when the chip sits behind a
+    high-latency tunnel."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros((), jnp.float32)
+    return {"loss_sum": z, "auc_sum": z, "weight": z,
+            "loss_last": z, "auc_last": z}
+
+
+def _update_meters(meters, loss, auc, n):
+    return {"loss_sum": meters["loss_sum"] + loss * n,
+            "auc_sum": meters["auc_sum"] + auc * n,
+            "weight": meters["weight"] + n,
+            "loss_last": loss, "auc_last": auc}
+
+
+def make_train_step(donate=False):
+    """Build the jitted training step: fwd -> BCE -> bwd -> clip -> Adam,
+    plus on-device AUC on the pre-update logits (reference run() parity).
+    Metrics fold into device-side meters; nothing blocks the dispatch queue."""
+
+    def train_step(state, meters, batch, rng):
+        dropout_key = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                {"id": batch["id"], "value": batch["value"]},
+                train=True, rngs={"dropout": dropout_key},
+                mutable=["batch_stats"])
+            loss = masked_bce(logits, batch["y"], batch["mask"])
+            return loss, (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"])
+        auc = masked_roc_auc(logits, batch["y"], batch["mask"])
+        meters = _update_meters(meters, loss, auc, batch["mask"].sum())
+        return state, meters
+
+    # donation is off by default: the axon-tunneled TPU backend rejects
+    # donated buffers on this program (INVALID_ARGUMENT at the next sync);
+    # model sizes here leave ample HBM headroom without it.
+    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_step():
+    """Jitted eval step: frozen batch_stats, no dropout."""
+
+    def eval_step(state, meters, batch):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"id": batch["id"], "value": batch["value"]}, train=False)
+        loss = masked_bce(logits, batch["y"], batch["mask"])
+        auc = masked_roc_auc(logits, batch["y"], batch["mask"])
+        return _update_meters(meters, loss, auc, batch["mask"].sum())
+
+    return jax.jit(eval_step)

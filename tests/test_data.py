@@ -1,0 +1,89 @@
+"""libsvm pipeline: parser correctness (incl. malformed-line skipping),
+caching, fixed-shape batching with padding masks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from armnet_tpu.data.libsvm import (BatchIterator, LibsvmDataset,
+                                    _parse_numpy_robust, make_dataloaders,
+                                    parse_libsvm)
+
+
+@pytest.fixture
+def libsvm_file(tmp_path):
+    p = tmp_path / "sample.libsvm"
+    lines = ["1 0:1 3:0.5 7:1", "0 1:1 4:1 6:0.25", "1 2:1 5:1 8:1"]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_parse_basic(libsvm_file):
+    ids, values, labels = parse_libsvm(libsvm_file, nfield=3, use_cache=False)
+    np.testing.assert_array_equal(ids, [[0, 3, 7], [1, 4, 6], [2, 5, 8]])
+    np.testing.assert_allclose(values, [[1, 0.5, 1], [1, 1, 0.25], [1, 1, 1]])
+    np.testing.assert_allclose(labels, [1, 0, 1])
+
+
+def test_parse_skips_malformed_lines(tmp_path, capsys):
+    p = tmp_path / "bad.libsvm"
+    p.write_text("1 0:1 1:1\n0 garbage\n0 2:1 3:1\n1 0:1\n")
+    ids, values, labels = parse_libsvm(str(p), nfield=2, use_cache=False)
+    assert ids.shape == (2, 2)
+    np.testing.assert_allclose(labels, [1, 0])
+    assert "incorrect data format" in capsys.readouterr().out
+
+
+def test_parse_cache_roundtrip(libsvm_file, monkeypatch, tmp_path):
+    import armnet_tpu.data.libsvm as mod
+
+    monkeypatch.setattr(mod, "_CACHE_DIR", str(tmp_path / "cache"))
+    a = parse_libsvm(libsvm_file, 3, use_cache=True)
+    assert os.listdir(tmp_path / "cache")
+    b = parse_libsvm(libsvm_file, 3, use_cache=True)  # from cache
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_robust_parser_matches_fast(libsvm_file):
+    from armnet_tpu.data.libsvm import _parse_numpy_fast
+
+    fast = _parse_numpy_fast(libsvm_file, 3)
+    rob = _parse_numpy_robust(libsvm_file, 3)
+    for x, y in zip(fast, rob):
+        np.testing.assert_allclose(x, y)
+
+
+def test_batch_iterator_padding_and_shuffle(tmp_path):
+    p = tmp_path / "ds.libsvm"
+    n = 10
+    p.write_text("\n".join(f"{i % 2} {i}:1 {10 + i}:1" for i in range(n)) + "\n")
+    ds = LibsvmDataset(str(p), 2, use_cache=False)
+    it = BatchIterator(ds, batch_size=4, shuffle=False, device_put=False)
+    batches = list(it)
+    assert len(batches) == 3
+    assert all(b["id"].shape == (4, 2) for b in batches)
+    np.testing.assert_allclose(batches[-1]["mask"], [1, 1, 0, 0])
+    # padded rows are zeroed
+    assert batches[-1]["id"][2:].sum() == 0
+
+    # shuffle is seeded+epoch-varying but deterministic
+    it_s = BatchIterator(ds, batch_size=4, shuffle=True, seed=7, device_put=False)
+    e1 = np.concatenate([b["id"][:, 0] * b["mask"] for b in it_s])
+    e2 = np.concatenate([b["id"][:, 0] * b["mask"] for b in it_s])
+    assert not np.array_equal(e1, e2)
+    it_r = BatchIterator(ds, batch_size=4, shuffle=True, seed=7, device_put=False)
+    r1 = np.concatenate([b["id"][:, 0] * b["mask"] for b in it_r])
+    np.testing.assert_array_equal(e1, r1)
+
+
+def test_make_dataloaders_glob_convention(tmp_path):
+    base = tmp_path / "toy"
+    base.mkdir()
+    for name in ["train.libsvm", "valid.libsvm", "test.libsvm"]:
+        (base / name).write_text("1 0:1 1:1\n0 1:1 0:1\n")
+    tr, va, te = make_dataloaders("toy", str(tmp_path), nfield=2, batch_size=2)
+    assert len(tr) == len(va) == len(te) == 1
+    with pytest.raises(FileNotFoundError):
+        make_dataloaders("nope", str(tmp_path), nfield=2, batch_size=2)

@@ -1,0 +1,124 @@
+"""Training loop on a learnable synthetic task (CPU): AUC improves, early
+stopping & eval_freq semantics hold, checkpoint save/restore round-trips."""
+
+import numpy as np
+import pytest
+
+from armnet_tpu.data.libsvm import BatchIterator
+from armnet_tpu.train.loop import Trainer
+from armnet_tpu.utils.config import ExperimentConfig
+from armnet_tpu.utils.logging import get_logger
+
+
+class SyntheticDataset:
+    """Labels determined by whether the field-0 feature id is even.
+    Per-field id ranges are disjoint (like real CTR vocabularies), so the
+    signal is cleanly attributable and any embedding model can learn it."""
+
+    def __init__(self, n, nfield=4, nfeat=64, seed=0):
+        rng = np.random.RandomState(seed)
+        per = nfeat // nfield
+        base = (np.arange(nfield) * per)[None, :]
+        self.ids = (rng.randint(0, per, (n, nfield)) + base).astype(np.int32)
+        self.values = np.ones((n, nfield), np.float32)
+        self.labels = (self.ids[:, 0] % 2 == 0).astype(np.float32)
+        self.nfield = nfield
+
+    def __len__(self):
+        return self.labels.shape[0]
+
+
+def make_loaders(bsz=64):
+    tr = BatchIterator(SyntheticDataset(512, seed=0), bsz, True, seed=1)
+    va = BatchIterator(SyntheticDataset(256, seed=1), bsz, False)
+    te = BatchIterator(SyntheticDataset(256, seed=2), bsz, False)
+    return tr, va, te
+
+
+@pytest.fixture
+def quiet_logger():
+    import logging
+
+    log = logging.getLogger("test_train")
+    log.addHandler(logging.NullHandler())
+    log.propagate = False
+    return log
+
+
+@pytest.mark.parametrize("model", ["armnet_1h", "fm"])
+def test_training_learns(model, quiet_logger):
+    cfg = ExperimentConfig(
+        model=model, nfeat=64, nfield=4, nemb=8, h=8, mlp_nlayer=1,
+        mlp_nhid=16, alpha=1.7, lr=0.01, epoch=6, patience=10)
+    tr, va, te = make_loaders()
+    trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
+    best_valid, best_test = trainer.fit(epochs=6, patience=10)
+    assert best_valid > 0.95, f"{model} failed to learn: {best_valid}"
+    assert best_test > 0.9
+
+
+def test_eval_freq_caps_batches(quiet_logger):
+    from armnet_tpu.train.loop import run_epoch
+    from armnet_tpu.train.step import make_eval_step
+
+    cfg = ExperimentConfig(model="lr", nfeat=64, nfield=4, lr=0.01)
+    tr, va, te = make_loaders(bsz=32)  # 512/32 = 16 batches
+    trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
+
+    seen = []
+
+    class CountingLoader:
+        def __len__(self):
+            return len(tr)
+
+        def __iter__(self):
+            for i, b in enumerate(tr):
+                seen.append(i)
+                yield b
+
+    run_epoch(0, trainer.state, CountingLoader(), quiet_logger,
+              eval_step=make_eval_step(), eval_freq=3)
+    # reference semantics: break AFTER processing batch_idx == eval_freq
+    assert len(seen) == 4
+
+
+def test_checkpoint_roundtrip(tmp_path, quiet_logger):
+    import jax
+    import jax.numpy as jnp
+
+    from armnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = ExperimentConfig(model="armnet_1h", nfeat=64, nfield=4, nemb=8, h=8,
+                           mlp_nlayer=1, mlp_nhid=16, lr=0.01)
+    tr, va, te = make_loaders()
+    trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
+    trainer.fit(epochs=1, patience=10)
+
+    path = save_checkpoint(str(tmp_path / "ck"), trainer.state,
+                           extra={"epoch": 0, "valid_auc": 0.5}, is_best=True)
+    assert path
+
+    fresh = Trainer(cfg, tr, va, te, quiet_logger, seed=99)
+    restored, extra = load_checkpoint(str(tmp_path / "ck"), fresh.state,
+                                      tag="best")
+    assert extra["epoch"] == 0
+    a = jax.tree.leaves(trainer.state.params)
+    b = jax.tree.leaves(restored.params)
+    assert all(bool(jnp.allclose(x, y)) for x, y in zip(a, b))
+
+    batch = next(iter(va))
+    from armnet_tpu.train.step import init_meters, make_eval_step
+    ev = make_eval_step()
+    m1 = jax.device_get(ev(trainer.state, init_meters(), batch))
+    m2 = jax.device_get(ev(restored, init_meters(), batch))
+    assert abs(m1["loss_last"] - m2["loss_last"]) < 1e-6
+
+
+def test_cli_parser_reference_flags():
+    from armnet_tpu.utils.config import get_args
+
+    args = get_args(["--model", "armnet_1h", "--nfeat", "5500", "--h", "16",
+                     "--alpha", "2.0", "--ensemble", "--eval_freq", "1000"])
+    assert args.model == "armnet_1h" and args.nfeat == 5500
+    assert args.h == 16 and args.alpha == 2.0 and args.ensemble
+    assert args.eval_freq == 1000

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""armnet_tpu training entry point — flag-compatible with the reference CLI
+(`python train.py --model armnet_1h --dataset frappe ...`), driver semantics
+per SURVEY.md §3.1: load data once, then per seed in [seed, seed+repeat):
+re-seed, fresh logger/model/optimizer, epoch loop with early stopping."""
+
+import os
+
+from armnet_tpu.data import make_dataloaders
+from armnet_tpu.train.checkpoint import load_checkpoint
+from armnet_tpu.train.loop import Trainer
+from armnet_tpu.utils.config import get_args
+from armnet_tpu.utils.logging import get_logger, remove_logger, seed_everything
+
+
+def main():
+    args = get_args()
+
+    import jax
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    # persistent compilation cache: repeated runs skip the multi-minute
+    # first-compile over the tunneled chip
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    train_loader, val_loader, test_loader = make_dataloaders(
+        args.dataset, args.data_dir, args.nfield, args.batch_size,
+        seed=args.seed)
+
+    base_exp_name = args.exp_name
+    results = []
+    for seed in range(args.seed, args.seed + args.repeat):
+        seed_everything(seed)
+        exp_name = f"{base_exp_name}_{seed}"
+        logger = get_logger(os.path.join(args.log_dir, exp_name, "stdout.log"),
+                            to_stdout=True, name=f"armnet_tpu.{exp_name}")
+        logger.info(f"=> creating model {args.model}")
+        logger.info(str(vars(args)))
+
+        train_loader.seed = seed  # reshuffle schedule follows the active seed
+        ckpt_dir = (os.path.join(args.ckpt_dir, exp_name)
+                    if args.ckpt_dir else None)
+        trainer = Trainer(args, train_loader, val_loader, test_loader, logger,
+                          seed=seed, ckpt_dir=ckpt_dir)
+        if args.resume:
+            trainer.state, extra = load_checkpoint(args.resume, trainer.state)
+            logger.info(f"resumed from {args.resume}: {extra}")
+
+        best_valid, best_test = trainer.fit(
+            epochs=args.epoch, patience=args.patience,
+            eval_freq=args.eval_freq, report_freq=args.report_freq)
+        results.append((seed, best_valid, best_test))
+        remove_logger(logger)
+
+    if len(results) > 1:
+        import numpy as np
+        tests = np.array([r[2] for r in results])
+        print(f"repeat summary over seeds "
+              f"[{args.seed}, {args.seed + args.repeat}): "
+              f"test auc mean {tests.mean():.4f} std {tests.std():.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
