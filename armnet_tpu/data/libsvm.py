@@ -148,7 +148,7 @@ class BatchIterator:
     padded to B so XLA sees a single static shape)."""
 
     def __init__(self, dataset, batch_size, shuffle, seed=0, device_put=True,
-                 drop_last=False):
+                 drop_last=False, sharding=None):
         self.ds = dataset
         self.bsz = batch_size
         self.shuffle = shuffle
@@ -156,6 +156,7 @@ class BatchIterator:
         self.epoch = 0
         self.device_put = device_put
         self.drop_last = drop_last
+        self.sharding = sharding  # optional dict of NamedShardings per key
 
     def __len__(self):
         n = len(self.ds)
@@ -184,7 +185,7 @@ class BatchIterator:
         batch = {"id": ids, "value": values, "y": y, "mask": mask}
         if self.device_put:
             import jax
-            batch = jax.device_put(batch)
+            batch = jax.device_put(batch, self.sharding)
         return batch
 
     def __iter__(self):

@@ -16,10 +16,30 @@ TPU notes:
     armnet_tpu/parallel/embedding_parallel.py.
 """
 
+import contextlib
+import threading
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["embedding_bag", "scaled_embedding_lookup", "one_hot_embedding_bag"]
+__all__ = ["embedding_bag", "scaled_embedding_lookup", "one_hot_embedding_bag",
+           "sharded_lookup_context"]
+
+# Active sharded-lookup context (set by the trainer when --shard_embedding is
+# on). Thread-local so concurrent traces don't fight.
+_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def sharded_lookup_context(mesh, impl="psum", capacity_factor=2.0):
+    """Route every scaled_embedding_lookup of a row-shardable table through
+    the 'model'-axis sharded lookup (psum or a2a exchange) while active."""
+    prev = getattr(_ctx, "cfg", None)
+    _ctx.cfg = {"mesh": mesh, "impl": impl, "capacity_factor": capacity_factor}
+    try:
+        yield
+    finally:
+        _ctx.cfg = prev
 
 # Below this many rows, one-hot matmul beats gather on TPU (table fits VMEM
 # and the MXU does the select). Diabetes130 (369 rows) and similar land here.
@@ -46,7 +66,23 @@ def embedding_bag(table, ids, values):
 
 
 def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None):
-    """Dispatching embedding-bag: picks the MXU one-hot path for tiny tables."""
+    """Dispatching embedding-bag: the sharded collective path when a
+    sharded_lookup_context is active and the table divides the model axis,
+    else the MXU one-hot path for tiny tables, else plain gather."""
+    cfg = getattr(_ctx, "cfg", None)
+    if cfg is not None:
+        from armnet_tpu.parallel.embedding_parallel import (
+            sharded_embedding_bag, sharded_embedding_bag_a2a)
+        from armnet_tpu.parallel.mesh import MODEL_AXIS
+
+        mesh = cfg["mesh"]
+        nshards = mesh.shape.get(MODEL_AXIS, 1)
+        if nshards > 1 and table.shape[0] % nshards == 0:
+            if cfg["impl"] == "a2a":
+                return sharded_embedding_bag_a2a(
+                    table, ids, values, mesh,
+                    capacity_factor=cfg["capacity_factor"])
+            return sharded_embedding_bag(table, ids, values, mesh)
     if use_one_hot is None:
         use_one_hot = table.shape[0] <= ONE_HOT_MAX_ROWS
     if use_one_hot:

@@ -115,8 +115,10 @@ class FeaturesLinear(nn.Module):
     def __call__(self, ids, values):
         weight = self.param("weight", init.xavier_uniform(), (self.nfeat, 1))
         bias = self.param("bias", init.zeros, (1,))
-        w = jnp.take(weight[:, 0], ids, axis=0)                 # [B, F]
-        return jnp.sum(w * values, axis=1) + bias[0]            # [B]
+        # routed through the embedding-bag dispatcher so the [nfeat, 1] weight
+        # follows the same row-sharded collective path as the tables
+        w = scaled_embedding_lookup(weight, ids, values)        # [B, F, 1]
+        return jnp.sum(w[..., 0], axis=1) + bias[0]             # [B]
 
 
 def fm_pool(x, reduce_dim=True):

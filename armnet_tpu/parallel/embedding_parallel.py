@@ -1,0 +1,137 @@
+"""Row-sharded embedding lookup over the 'model' mesh axis.
+
+The table [nfeat, E] lives row-sharded across model ranks; ids arrive
+replicated along 'model' (they're sharded over 'data' only). Two exchange
+strategies, both expressed with shard_map so the collective choice is
+explicit (this is the [TPU-NEW] capability from SURVEY.md §2.4 — the
+reference keeps its up-to-2.1M-row tables replicated on one GPU):
+
+  psum:   every model rank gathers its shard's contribution for the full
+          local batch (out-of-range ids masked to zero) and the partial
+          embeddings are all-reduced. Simple, always correct; ring-all-reduce
+          volume ~2·b·F·E per device.
+
+  a2a:    DLRM-style request/response. Each model rank takes a 1/M slice of
+          the local batch's (b·F) requests, buckets them by owning shard,
+          all-to-alls the request ids, answers with locally gathered rows,
+          all-to-alls the rows back, then all-gathers the finished slices.
+          Moves ~b·F·E·(1/M + (M-1)/M) — about half the psum volume — at the
+          cost of a sort and capacity padding (overflowing bucket entries
+          fall back to zero rows, so capacity_factor trades memory for exact
+          coverage; with uniform hashing the default 2.0 overflows with
+          negligible probability).
+
+Both are differentiable: the gather transposes to a scatter-add onto the
+local shard, and all_to_all/psum transpose to themselves/broadcast.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from armnet_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["sharded_embedding_bag", "sharded_embedding_bag_a2a"]
+
+
+def _local_gather(table_shard, ids, rows_per_shard, axis_name):
+    """Gather rows owned by this shard; zeros elsewhere."""
+    m = jax.lax.axis_index(axis_name)
+    local = ids - m * rows_per_shard
+    in_range = (local >= 0) & (local < rows_per_shard)
+    safe = jnp.where(in_range, local, 0)
+    rows = jnp.take(table_shard, safe, axis=0)
+    return jnp.where(in_range[..., None], rows, 0.0)
+
+
+def sharded_embedding_bag(table, ids, values, mesh, *,
+                          data_axis=DATA_AXIS, model_axis=MODEL_AXIS):
+    """psum-combine lookup: [B,F] ids + row-sharded [nfeat,E] -> [B,F,E]."""
+    nshards = mesh.shape[model_axis]
+    rows_per_shard = table.shape[0] // nshards
+    assert table.shape[0] % nshards == 0, "nfeat must divide the model axis"
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(model_axis, None), P(data_axis, None),
+                       P(data_axis, None)),
+             out_specs=P(data_axis, None, None))
+    def lookup(table_shard, ids_local, values_local):
+        rows = _local_gather(table_shard, ids_local, rows_per_shard,
+                             model_axis)
+        rows = jax.lax.psum(rows, model_axis)
+        return rows * values_local[..., None]
+
+    return lookup(table, ids, values)
+
+
+def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
+                              data_axis=DATA_AXIS, model_axis=MODEL_AXIS,
+                              capacity_factor=2.0):
+    """all-to-all request/response lookup (see module docstring)."""
+    nshards = mesh.shape[model_axis]
+    rows_per_shard = table.shape[0] // nshards
+    assert table.shape[0] % nshards == 0, "nfeat must divide the model axis"
+    nemb = table.shape[1]
+
+    # check_vma off: the closing all_gather makes the output replicated over
+    # 'model' by construction, but the static varying-manual-axes checker
+    # cannot prove it through the scatter/gather chain.
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(model_axis, None), P(data_axis, None),
+                       P(data_axis, None)),
+             out_specs=P(data_axis, None, None), check_vma=False)
+    def lookup(table_shard, ids_local, values_local):
+        b, f = ids_local.shape
+        n = b * f
+        m = jax.lax.axis_index(model_axis)
+
+        # Each model rank serves a distinct 1/M slice of the local requests.
+        slice_n = -(-n // nshards)                       # ceil
+        pad_n = slice_n * nshards
+        flat = jnp.pad(ids_local.reshape(-1), (0, pad_n - n))
+        my = jax.lax.dynamic_slice_in_dim(flat, m * slice_n, slice_n)
+
+        # Bucket my requests by owning shard into [M, capacity].
+        cap = max(int(capacity_factor * slice_n / nshards), 8)
+        req_real = (m * slice_n + jnp.arange(slice_n)) < n   # not tail padding
+        owner = jnp.clip(my // rows_per_shard, 0, nshards - 1)
+        # route padding to a virtual owner so it never consumes capacity
+        sort_key = jnp.where(req_real, owner, nshards)
+        order = jnp.argsort(sort_key)                    # stable
+        sorted_ids = my[order]
+        sorted_owner = owner[order]
+        sorted_real = req_real[order]
+        # position within bucket = index - first index of that owner
+        start = jnp.searchsorted(jnp.where(sorted_real, sorted_owner, nshards),
+                                 jnp.arange(nshards), side="left")
+        pos = jnp.arange(slice_n) - start[sorted_owner]
+        ok = sorted_real & (pos < cap)                   # overflow/pad -> drop
+        safe_pos = jnp.where(ok, pos, cap)               # cap is OOB: dropped
+        send = jnp.zeros((nshards, cap), ids_local.dtype)
+        send = send.at[sorted_owner, safe_pos].set(sorted_ids, mode="drop")
+
+        # Exchange requests; answer with locally-owned rows; exchange back.
+        recv = jax.lax.all_to_all(send, model_axis, 0, 0, tiled=True
+                                  ).reshape(nshards, cap)
+        local = recv - m * rows_per_shard
+        in_range = (local >= 0) & (local < rows_per_shard)
+        rows = jnp.take(table_shard, jnp.where(in_range, local, 0), axis=0)
+        rows = jnp.where(in_range[..., None], rows, 0.0)  # [M, cap, E]
+        back = jax.lax.all_to_all(rows.reshape(nshards * cap, nemb),
+                                  model_axis, 0, 0, tiled=True
+                                  ).reshape(nshards, cap, nemb)
+
+        # Unbucket into my slice's order, then undo the sort permutation.
+        got = back[sorted_owner, jnp.where(ok, pos, 0)]
+        got = jnp.where(ok[..., None], got, 0.0)
+        my_rows = jnp.zeros((slice_n, nemb), table.dtype).at[order].set(got)
+
+        # Stitch the M finished slices back together.
+        all_rows = jax.lax.all_gather(my_rows, model_axis, axis=0,
+                                      tiled=True)   # [pad_n, E]
+        emb = all_rows[:n].reshape(b, f, nemb)
+        return emb * values_local[..., None]
+
+    return lookup(table, ids, values)

@@ -76,12 +76,20 @@ class Trainer:
     """Owns model/state construction and the epoch/early-stop loop."""
 
     def __init__(self, config, train_loader, val_loader, test_loader, logger,
-                 seed=2025, ckpt_dir=None):
+                 seed=2025, ckpt_dir=None, mesh=None):
         self.cfg = config
         self.loaders = (train_loader, val_loader, test_loader)
         self.logger = logger
         self.seed = seed
         self.ckpt_dir = ckpt_dir
+
+        # device mesh: explicit arg > config spec > single-device (no mesh)
+        mesh_spec = getattr(config, "mesh", "")
+        shard_emb = bool(getattr(config, "shard_embedding", False))
+        if mesh is None and mesh_spec:
+            from armnet_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(mesh_spec)
+        self.mesh = mesh
 
         self.model = create_model(config)
         first = next(iter(train_loader))
@@ -89,8 +97,38 @@ class Trainer:
             self.model, first, lr=config.lr, seed=seed, clip=config.clip)
         logger.info(f"=> created model {config.model} | parameters: "
                     f"{param_count(self.state.params)}")
-        self.train_step = make_train_step()
-        self.eval_step = make_eval_step()
+
+        shardings = None
+        lookup_cm = None
+        if mesh is not None:
+            import functools
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from armnet_tpu.ops.embedding import sharded_lookup_context
+            from armnet_tpu.parallel.sharding import (batch_sharding,
+                                                      state_shardings)
+
+            state_sh = state_shardings(self.state, mesh, config.nfeat,
+                                       shard_emb)
+            self.state = jax.device_put(self.state, state_sh)
+            batch_sh = batch_sharding(mesh)
+            meters_sh = jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), init_meters())
+            shardings = (state_sh, meters_sh, batch_sh)
+            for loader in self.loaders:
+                loader.sharding = batch_sh
+            if shard_emb:
+                impl = getattr(config, "embedding_exchange", "psum")
+                lookup_cm = functools.partial(sharded_lookup_context, mesh,
+                                              impl)
+            logger.info(f"mesh {dict(mesh.shape)} | sharded embedding: "
+                        f"{shard_emb}")
+
+        self.train_step = make_train_step(shardings=shardings,
+                                          lookup_cm=lookup_cm)
+        self.eval_step = make_eval_step(shardings=shardings,
+                                        lookup_cm=lookup_cm)
         self.rng = jax.random.key(seed + 7)
 
     def fit(self, epochs, patience=1, eval_freq=10000, report_freq=30):

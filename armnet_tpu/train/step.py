@@ -62,10 +62,16 @@ def _update_meters(meters, loss, auc, n):
             "loss_last": loss, "auc_last": auc}
 
 
-def make_train_step(donate=False):
+def make_train_step(donate=False, shardings=None, lookup_cm=None):
     """Build the jitted training step: fwd -> BCE -> bwd -> clip -> Adam,
     plus on-device AUC on the pre-update logits (reference run() parity).
-    Metrics fold into device-side meters; nothing blocks the dispatch queue."""
+    Metrics fold into device-side meters; nothing blocks the dispatch queue.
+
+    shardings: optional (state_sh, meters_sh, batch_sh) NamedSharding trees —
+    when given, the step is pjit-compiled over the mesh (DP gradients psum'd
+    by XLA; row-sharded tables handled by the lookup context).
+    lookup_cm: optional zero-arg contextmanager entered around every call so
+    the sharded-embedding dispatch is active at trace time."""
 
     def train_step(state, meters, batch, rng):
         dropout_key = jax.random.fold_in(rng, state.step)
@@ -90,10 +96,27 @@ def make_train_step(donate=False):
     # donation is off by default: the axon-tunneled TPU backend rejects
     # donated buffers on this program (INVALID_ARGUMENT at the next sync);
     # model sizes here leave ample HBM headroom without it.
-    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
+    kw = {}
+    if shardings is not None:
+        state_sh, meters_sh, batch_sh = shardings
+        kw = dict(in_shardings=(state_sh, meters_sh, batch_sh, None),
+                  out_shardings=(state_sh, meters_sh))
+    jitted = jax.jit(train_step, donate_argnums=(0, 1) if donate else (), **kw)
+    return _with_lookup_cm(jitted, lookup_cm)
 
 
-def make_eval_step():
+def _with_lookup_cm(jitted, lookup_cm):
+    if lookup_cm is None:
+        return jitted
+
+    def wrapped(*args):
+        with lookup_cm():
+            return jitted(*args)
+
+    return wrapped
+
+
+def make_eval_step(shardings=None, lookup_cm=None):
     """Jitted eval step: frozen batch_stats, no dropout."""
 
     def eval_step(state, meters, batch):
@@ -104,4 +127,9 @@ def make_eval_step():
         auc = masked_roc_auc(logits, batch["y"], batch["mask"])
         return _update_meters(meters, loss, auc, batch["mask"].sum())
 
-    return jax.jit(eval_step)
+    kw = {}
+    if shardings is not None:
+        state_sh, meters_sh, batch_sh = shardings
+        kw = dict(in_shardings=(state_sh, meters_sh, batch_sh),
+                  out_shardings=meters_sh)
+    return _with_lookup_cm(jax.jit(eval_step, **kw), lookup_cm)
