@@ -1,0 +1,167 @@
+"""Pallas TPU kernel for alpha-entmax bisection (forward + backward).
+
+Why a kernel: under XLA the 50-iteration bisection is a while-loop whose
+carried [B,O,F] state spills to HBM every iteration once it exceeds VMEM —
+measured 40 ms for [4096,128,39] f32 on v5e vs 1.8 ms for softmax. This
+kernel tiles the row axis, runs the entire bisection on a VMEM-resident tile,
+and touches HBM exactly once in and once out per tile.
+
+Design notes:
+  * rows = all leading dims collapsed; the normalized axis is minor (lanes).
+  * alpha is a static python float -> the generating-function exponent
+    1/(alpha-1) specializes at trace time: alpha=2 (sparsemax) costs no
+    transcendentals, alpha=1.5 costs a single multiply (z^2), generic alpha
+    uses exp/log.
+  * backward is its own kernel using only the saved output Y:
+    g = Y^(2-alpha) on the support; dX = dY*g - (sum(dY*g)/sum(g))*g.
+  * float32 throughout — bf16 cannot resolve a 2^-50 bracket.
+
+Numerics match armnet_tpu.ops.entmax (the jnp twin) to ~1e-6; tests compare
+both on CPU via interpret mode and on TPU compiled.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["entmax_pallas"]
+
+_ROW_BLOCK = 1024
+
+
+def _pow_inv(z, inv_am1):
+    """clamp(z,0) ** inv_am1 with static-exponent specialization."""
+    z = jnp.maximum(z, 0.0)
+    if inv_am1 == 1.0:          # alpha = 2 (sparsemax)
+        return z
+    if inv_am1 == 2.0:          # alpha = 1.5
+        return z * z
+    if inv_am1 == 3.0:
+        return z * z * z
+    return jnp.power(z, inv_am1)
+
+
+def _pow_static(y, e):
+    """y ** e for y >= 0 with static-exponent specialization (backward)."""
+    if e == 0.0:
+        return jnp.ones_like(y)
+    if e == 0.5:                # alpha = 1.5
+        return jnp.sqrt(y)
+    if e == 1.0:
+        return y
+    return jnp.power(jnp.maximum(y, 1e-38), e)
+
+
+def _fwd_kernel(x_ref, y_ref, *, alpha, n_iter):
+    # Layout: [F, rows] — the normalized axis on SUBLANES, rows on lanes, so
+    # every one of the 128 VPU lanes does useful work (F is 10..43 in this
+    # domain; lane-minor F would waste 3.3x of the VPU on padding).
+    am1 = alpha - 1.0
+    inv_am1 = 1.0 / am1
+    x = x_ref[:].astype(jnp.float32) * am1
+    d = x.shape[0]
+
+    max_val = jnp.max(x, axis=0, keepdims=True)
+    tau_lo = max_val - 1.0
+    tau_hi = max_val - (1.0 / d) ** am1
+    f_lo = jnp.sum(_pow_inv(x - tau_lo, inv_am1), 0, keepdims=True) - 1.0
+    dm = tau_hi - tau_lo
+
+    def body(_, carry):
+        dm, tau_lo, _ = carry
+        dm = dm * 0.5
+        tau_m = tau_lo + dm
+        f_m = jnp.sum(_pow_inv(x - tau_m, inv_am1), 0, keepdims=True) - 1.0
+        tau_lo = jnp.where(f_m * f_lo >= 0, tau_m, tau_lo)
+        return dm, tau_lo, tau_m
+
+    _, _, tau_m = lax.fori_loop(0, n_iter, body, (dm, tau_lo, tau_lo))
+    p = _pow_inv(x - tau_m, inv_am1)
+    p = p / jnp.sum(p, 0, keepdims=True)
+    y_ref[:] = p.astype(y_ref.dtype)
+
+
+def _bwd_kernel(y_ref, dy_ref, dx_ref, *, alpha):
+    y = y_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    gppr = jnp.where(y > 0, _pow_static(y, 2.0 - alpha), 0.0)
+    dx = dy * gppr
+    q = jnp.sum(dx, 0, keepdims=True) / jnp.sum(gppr, 0, keepdims=True)
+    dx = dx - q * gppr
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _interpret():
+    """Compiled Pallas is TPU-only; anywhere else run the interpreter so a
+    forced --kernels pallas still works (slow but correct)."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def _col_call(kernel, n_in, d, rows, dtype):
+    """Grid over lane-blocks of rows; each tile is [F, _ROW_BLOCK]."""
+    grid = (pl.cdiv(rows, _ROW_BLOCK),)
+    spec = pl.BlockSpec((d, _ROW_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return functools.partial(
+        pl.pallas_call, kernel,
+        grid=grid,
+        in_specs=[spec] * n_in,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((d, rows), dtype),
+        interpret=_interpret(),
+    )
+
+
+def _fwd2d(x, alpha, n_iter):
+    rows, d = x.shape
+    call = _col_call(functools.partial(_fwd_kernel, alpha=alpha,
+                                       n_iter=n_iter), 1, d, rows, x.dtype)
+    return call()(x.T).T
+
+
+def _bwd2d(y, dy, alpha):
+    rows, d = y.shape
+    call = _col_call(functools.partial(_bwd_kernel, alpha=alpha), 2, d, rows,
+                     y.dtype)
+    return call()(y.T, dy.T).T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _entmax2d(x, alpha, n_iter):
+    return _fwd2d(x, alpha, n_iter)
+
+
+def _entmax2d_fwd(x, alpha, n_iter):
+    y = _fwd2d(x, alpha, n_iter)
+    return y, y
+
+
+def _entmax2d_bwd(alpha, n_iter, y, dy):
+    return (_bwd2d(y, dy, alpha),)
+
+
+_entmax2d.defvjp(_entmax2d_fwd, _entmax2d_bwd)
+
+
+def entmax_pallas(x, alpha=1.5, axis=-1, n_iter=50):
+    """Drop-in replacement for ops.entmax.entmax_bisect with a static float
+    alpha (the kernel specializes on it at trace time)."""
+    alpha = float(alpha)
+    if alpha <= 1.0:
+        raise ValueError("entmax_pallas requires alpha > 1 (use softmax at 1)")
+    orig_dtype = x.dtype
+    x = jnp.asarray(x, jnp.float32)
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+    shape = x.shape
+    y = _entmax2d(x.reshape(-1, shape[-1]), alpha, n_iter).reshape(shape)
+    if axis not in (-1, len(shape) - 1):
+        y = jnp.moveaxis(y, -1, axis)
+    return y.astype(orig_dtype)

@@ -113,6 +113,78 @@ def _sum_to_shape(x, shape):
 _entmax_core.defvjp(_entmax_core_fwd, _entmax_core_bwd)
 
 
+# ---- static-alpha fast path -------------------------------------------------
+# With a concrete python alpha the generating-function exponents specialize at
+# trace time (alpha=2 -> identity, 1.5 -> square / sqrt), instead of a generic
+# pow(x, traced) = exp(log) per element per bisection iteration.
+
+def _pow_inv_static(z, inv_am1):
+    z = jnp.maximum(z, 0.0)
+    if inv_am1 == 1.0:
+        return z
+    if inv_am1 == 2.0:
+        return z * z
+    if inv_am1 == 3.0:
+        return z * z * z
+    return jnp.power(z, inv_am1)
+
+
+def _entmax_forward_static(x, alpha, n_iter):
+    am1 = alpha - 1.0
+    inv_am1 = 1.0 / am1
+    xs = x * am1
+    d = x.shape[-1]
+    max_val = jnp.max(xs, axis=-1, keepdims=True)
+    tau_lo = max_val - 1.0
+    tau_hi = max_val - (1.0 / d) ** am1
+    f_lo = jnp.sum(_pow_inv_static(xs - tau_lo, inv_am1), -1,
+                   keepdims=True) - 1.0
+    dm = tau_hi - tau_lo
+
+    def body(_, carry):
+        dm, tau_lo, _ = carry
+        dm = dm * 0.5
+        tau_m = tau_lo + dm
+        f_m = jnp.sum(_pow_inv_static(xs - tau_m, inv_am1), -1,
+                      keepdims=True) - 1.0
+        tau_lo = jnp.where(f_m * f_lo >= 0, tau_m, tau_lo)
+        return dm, tau_lo, tau_m
+
+    _, _, tau_m = lax.fori_loop(0, n_iter, body, (dm, tau_lo, tau_lo))
+    p = _pow_inv_static(xs - tau_m, inv_am1)
+    return p / jnp.sum(p, -1, keepdims=True)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _entmax_core_static(x, alpha, n_iter):
+    return _entmax_forward_static(x, alpha, n_iter)
+
+
+def _entmax_core_static_fwd(x, alpha, n_iter):
+    y = _entmax_forward_static(x, alpha, n_iter)
+    return y, y
+
+
+def _pow_static(y, e):
+    if e == 0.0:
+        return jnp.ones_like(y)
+    if e == 0.5:
+        return jnp.sqrt(y)
+    if e == 1.0:
+        return y
+    return jnp.power(jnp.maximum(y, 1e-38), e)
+
+
+def _entmax_core_static_bwd(alpha, n_iter, y, dY):
+    gppr = jnp.where(y > 0, _pow_static(y, 2.0 - alpha), 0.0)
+    dX = dY * gppr
+    q = jnp.sum(dX, -1, keepdims=True) / jnp.sum(gppr, -1, keepdims=True)
+    return (dX - q * gppr,)
+
+
+_entmax_core_static.defvjp(_entmax_core_static_fwd, _entmax_core_static_bwd)
+
+
 def entmax_bisect(x, alpha=1.5, axis=-1, n_iter=50):
     """alpha-entmax: normalizing sparse transform (a la softmax).
 
@@ -130,8 +202,29 @@ def entmax_bisect(x, alpha=1.5, axis=-1, n_iter=50):
 
     Returns:
       Array like x, summing to 1 along `axis`, typically sparse.
+
+    Dispatch: a concrete python `alpha` takes the specialized static path —
+    the Pallas VMEM-resident kernel on TPU (armnet_tpu.kernels.entmax_pallas),
+    or the exponent-specialized jnp path elsewhere. A traced `alpha` (being
+    learned) uses the generic differentiable-in-alpha path.
     """
     orig_dtype = x.dtype
+    if isinstance(alpha, (int, float)) and float(alpha) > 1.0:
+        from armnet_tpu.kernels.config import use_pallas
+
+        if use_pallas():
+            from armnet_tpu.kernels.entmax_pallas import entmax_pallas
+
+            return entmax_pallas(x, float(alpha), axis=axis, n_iter=n_iter)
+        x = jnp.asarray(x, jnp.float32)
+        if axis not in (-1, x.ndim - 1):
+            x = jnp.moveaxis(x, axis, -1)
+            y = _entmax_core_static(x, float(alpha), n_iter)
+            y = jnp.moveaxis(y, -1, axis)
+        else:
+            y = _entmax_core_static(x, float(alpha), n_iter)
+        return y.astype(orig_dtype)
+
     x = jnp.asarray(x, jnp.float32)
     alpha = jnp.asarray(alpha, jnp.float32)
     if alpha.ndim == x.ndim and axis not in (-1, x.ndim - 1):

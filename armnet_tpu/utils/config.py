@@ -35,7 +35,7 @@ class ExperimentConfig(ModelConfig):
     # TPU-native extras
     matmul_precision: str = "default"   # default|high|highest
     bf16: bool = False                  # bf16 activations on the MXU path
-    kernels: str = "xla"                # xla|pallas compute-path selection
+    kernels: str = "auto"               # auto|xla|pallas compute-path selection
     mesh: str = ""                      # e.g. "data:8" or "data:4,model:2"
     shard_embedding: bool = False       # row-shard tables over the model axis
     profile_dir: Optional[str] = None   # jax.profiler trace output
@@ -108,7 +108,7 @@ def build_arg_parser():
                    choices=["default", "high", "highest"])
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--kernels", type=str, default=d.kernels,
-                   choices=["xla", "pallas"])
+                   choices=["auto", "xla", "pallas"])
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help="device mesh spec, e.g. 'data:8' or 'data:4,model:2'")
     p.add_argument("--shard_embedding", action="store_true", default=False)

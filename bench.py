@@ -1,23 +1,25 @@
 #!/usr/bin/env python
 """Benchmark: armnet_1h full training-step throughput (fwd + BCE + bwd +
-clip/Adam + on-device AUC) at the canonical Frappe recipe
-(nfeat=5500, F=10, E=10, h=128, MLP 2x256, batch 4096 — run.sh armnet_1h).
+clip/Adam + on-device AUC) at the canonical Criteo recipe
+(nfeat=2.1M, F=39, E=10, h=128, MLP 2x500, alpha=2.0, batch 4096 —
+run.sh "CR_armnet1h"), auto kernel backend (Pallas entmax on TPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline anchor: the reference publishes no throughput numbers
 (BASELINE.md) — the anchor is the reference PyTorch implementation's
-train-step throughput measured on this host's CPU (1,559 examples/s,
-batch 4096, same recipe, torch 2.x single core). Values > 1 mean faster
-than the reference implementation runs on this machine.
+train-step throughput at the same recipe measured on this host
+(287 examples/s, torch CPU, batch 4096). Values > 1 mean faster than the
+reference implementation runs on this machine. Secondary context (measured
+once, 2026-08-16): frappe-recipe throughput is in BENCH_NOTES.md.
 """
 
 import json
 import os
 import time
 
-# Reference (torch CPU, this host) examples/s — see module docstring.
-REFERENCE_BASELINE_EXS = 1559.0
+# Reference (torch CPU, this host, same recipe) examples/s — see docstring.
+REFERENCE_BASELINE_EXS = 287.0
 
 BATCH = 4096
 WARMUP_STEPS = 5
@@ -39,8 +41,8 @@ def main():
     from armnet_tpu.train.step import (create_train_state, init_meters,
                                        make_train_step)
 
-    cfg = ModelConfig(model="armnet_1h", nfeat=5500, nfield=10, nemb=10,
-                      h=128, mlp_nlayer=2, mlp_nhid=256, alpha=1.7)
+    cfg = ModelConfig(model="armnet_1h", nfeat=2_100_000, nfield=39, nemb=10,
+                      h=128, mlp_nlayer=2, mlp_nhid=500, alpha=2.0)
     model = create_model(cfg)
     rng = np.random.RandomState(0)
     batch = {
@@ -67,7 +69,7 @@ def main():
 
     exs = MEASURE_STEPS * BATCH / dt
     print(json.dumps({
-        "metric": "armnet_1h_train_examples_per_sec",
+        "metric": "armnet_1h_criteo_train_examples_per_sec",
         "value": round(exs, 1),
         "unit": "examples/s",
         "vs_baseline": round(exs / REFERENCE_BASELINE_EXS, 2),
