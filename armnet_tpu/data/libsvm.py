@@ -105,12 +105,18 @@ def parse_libsvm(path, nfield, use_cache=True):
 
     Tries (1) binary cache, (2) C++ parser, (3) vectorized numpy, (4) robust
     line-by-line with malformed-line skipping."""
+    # Cache layout: three raw .npy files (ids/values/labels) so Criteo-scale
+    # datasets reload via mmap without a decompress/copy pass.
+    MMAP_BYTES = 512 * 1024 * 1024
+
     if use_cache:
         key = _cache_key(path, nfield)
-        cpath = os.path.join(_CACHE_DIR, f"libsvm_{key}.npz")
-        if os.path.exists(cpath):
-            z = np.load(cpath)
-            return z["ids"], z["values"], z["labels"]
+        base = os.path.join(_CACHE_DIR, f"libsvm_{key}")
+        names = [f"{base}.{k}.npy" for k in ("ids", "values", "labels")]
+        if all(os.path.exists(n) for n in names):
+            total = sum(os.path.getsize(n) for n in names)
+            mode = "r" if total > MMAP_BYTES else None
+            return tuple(np.load(n, mmap_mode=mode) for n in names)
 
     out = _parse_native(path, nfield)
     if out is None:
@@ -122,7 +128,8 @@ def parse_libsvm(path, nfield, use_cache=True):
     if use_cache:
         try:
             os.makedirs(_CACHE_DIR, exist_ok=True)
-            np.savez(cpath, ids=ids, values=values, labels=labels)
+            for name, arr in zip(names, (ids, values, labels)):
+                np.save(name, arr)
         except OSError:
             pass
     return ids, values, labels

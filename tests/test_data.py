@@ -26,13 +26,16 @@ def test_parse_basic(libsvm_file):
     np.testing.assert_allclose(labels, [1, 0, 1])
 
 
-def test_parse_skips_malformed_lines(tmp_path, capsys):
+def test_parse_skips_malformed_lines(tmp_path, capsys, recwarn):
     p = tmp_path / "bad.libsvm"
     p.write_text("1 0:1 1:1\n0 garbage\n0 2:1 3:1\n1 0:1\n")
     ids, values, labels = parse_libsvm(str(p), nfield=2, use_cache=False)
     assert ids.shape == (2, 2)
     np.testing.assert_allclose(labels, [1, 0])
-    assert "incorrect data format" in capsys.readouterr().out
+    # tolerance is reported: the C++ parser warns, the python one prints
+    printed = "incorrect data format" in capsys.readouterr().out
+    warned = any("malformed" in str(w.message) for w in recwarn)
+    assert printed or warned
 
 
 def test_parse_cache_roundtrip(libsvm_file, monkeypatch, tmp_path):
