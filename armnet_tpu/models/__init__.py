@@ -33,42 +33,50 @@ _REGISTRY = {
     "cin": lambda c: CIN(c.nfield, c.nfeat, c.nemb, c.k, c.h),
     "afn": lambda c: AFN(c.nfield, c.nfeat, c.nemb, c.h, c.mlp_nlayer,
                          c.mlp_nhid, c.dropout, c.ensemble, c.dnn_nlayer,
-                         c.dnn_nhid),
+                         c.dnn_nhid, c.noutput),
     "armnet": lambda c: ARMNet(c.nfield, c.nfeat, c.nemb, c.nattn_head,
                                c.alpha, c.h, c.mlp_nlayer, c.mlp_nhid,
-                               c.dropout, c.ensemble, c.dnn_nlayer, c.dnn_nhid),
+                               c.dropout, c.ensemble, c.dnn_nlayer, c.dnn_nhid,
+                               c.noutput),
     "armnet_1h": lambda c: ARMNet1H(c.nfield, c.nfeat, c.nemb, c.alpha, c.h,
                                     c.nemb, c.mlp_nlayer, c.mlp_nhid,
                                     c.dropout, c.ensemble, c.dnn_nlayer,
-                                    c.dnn_nhid),
+                                    c.dnn_nhid, c.noutput),
     "dnn": lambda c: DNN(c.nfield, c.nfeat, c.nemb, c.mlp_nlayer, c.mlp_nhid,
-                         c.dropout),
+                         c.dropout, c.noutput),
     "gcn": lambda c: GCN(c.nfield, c.nfeat, c.nemb, c.k, c.h, c.mlp_nlayer,
-                         c.mlp_nhid, c.dropout),
+                         c.mlp_nhid, c.dropout, c.noutput),
     "gat": lambda c: GAT(c.nfield, c.nfeat, c.nemb, c.k, c.h, c.mlp_nlayer,
-                         c.mlp_nhid, c.dropout, 0.2, c.nattn_head),
+                         c.mlp_nhid, c.dropout, 0.2, c.nattn_head, c.noutput),
     "wd": lambda c: WideDeep(c.nfield, c.nfeat, c.nemb, c.mlp_nlayer,
-                             c.mlp_nhid, c.dropout),
+                             c.mlp_nhid, c.dropout, c.noutput),
     "ipnn": lambda c: IPNN(c.nfield, c.nfeat, c.nemb, c.mlp_nlayer, c.mlp_nhid,
-                           c.dropout),
+                           c.dropout, c.noutput),
     "kpnn": lambda c: KPNN(c.nfield, c.nfeat, c.nemb, c.mlp_nlayer, c.mlp_nhid,
-                           c.dropout),
-    "nfm": lambda c: NFM(c.nfeat, c.nemb, c.mlp_nlayer, c.mlp_nhid, c.dropout),
+                           c.dropout, c.noutput),
+    "nfm": lambda c: NFM(c.nfeat, c.nemb, c.mlp_nlayer, c.mlp_nhid, c.dropout,
+                         c.noutput),
     "dfm": lambda c: DeepFM(c.nfield, c.nfeat, c.nemb, c.mlp_nlayer,
-                            c.mlp_nhid, c.dropout),
+                            c.mlp_nhid, c.dropout, c.noutput),
     "dcn+": lambda c: DCN(c.nfield, c.nfeat, c.nemb, c.k, c.mlp_nlayer,
-                          c.mlp_nhid, c.dropout),
+                          c.mlp_nhid, c.dropout, c.noutput),
     "xdfm": lambda c: XDeepFM(c.nfield, c.nfeat, c.nemb, c.k, c.h,
-                              c.mlp_nlayer, c.mlp_nhid, c.dropout),
+                              c.mlp_nlayer, c.mlp_nhid, c.dropout, c.noutput),
     "gc_arm": lambda c: GCARM(c.nfield, c.nfeat, c.nemb, c.nattn_head, c.alpha,
                               c.h, c.mlp_nlayer, c.mlp_nhid, c.dropout,
-                              c.ensemble, c.dnn_nlayer, c.dnn_nhid),
+                              c.ensemble, c.dnn_nlayer, c.dnn_nhid,
+                              c.noutput),
     "sa_glu": lambda c: SAGLU(c.nfield, c.nfeat, c.nemb, c.mlp_nlayer,
                               c.mlp_nhid, c.dropout, c.ensemble, c.dnn_nlayer,
-                              c.dnn_nhid),
+                              c.dnn_nhid, c.noutput),
 }
 
 MODEL_NAMES = tuple(sorted(_REGISTRY))
+
+
+# models whose head is structurally a scalar (first/second-order sums with no
+# MLP): binary-only, like the reference main branch
+_SCALAR_ONLY = frozenset({"lr", "fm", "hofm", "afm", "dcn", "cin"})
 
 
 def create_model(config: ModelConfig):
@@ -76,6 +84,11 @@ def create_model(config: ModelConfig):
     name = config.model
     if name not in _REGISTRY:
         raise ValueError(f"unknown model {name!r}; known: {MODEL_NAMES}")
+    if getattr(config, "noutput", 1) > 1 and name in _SCALAR_ONLY:
+        raise ValueError(
+            f"model {name!r} has a scalar head and does not support "
+            f"noutput={config.noutput} (multi-class); pick an MLP-headed "
+            f"model (e.g. dnn/armnet/armnet_1h/...)")
     return _REGISTRY[name](config)
 
 

@@ -29,6 +29,7 @@ class AFN(nn.Module):
     ensemble: bool
     deep_nlayer: int
     deep_nhid: int
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -52,10 +53,10 @@ class AFN(nn.Module):
         afn = afn.reshape(afn.shape[0], self.afn_hid * self.nemb)
         afn = nn.Dropout(self.dropout, deterministic=not train)(afn)
 
-        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="mlp")(afn, train)
         if self.ensemble:
             y = DeepEnsemble(self.nfeat, self.nemb, self.nfield,
                              self.deep_nlayer, self.deep_nhid, self.dropout,
-                             1, name="ensemble")(y, ids, values, train)
+                             self.noutput, name="ensemble")(y, ids, values, train)
         return squeeze_logits(y)

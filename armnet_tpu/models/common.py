@@ -6,7 +6,8 @@ import jax.numpy as jnp
 from armnet_tpu.ops import initializers as init
 from armnet_tpu.ops.layers import MLP, Embedding
 
-__all__ = ["split_batch", "squeeze_logits", "DeepEnsemble", "VALUE_CLAMP"]
+__all__ = ["split_batch", "squeeze_logits", "add_first_order", "DeepEnsemble",
+           "VALUE_CLAMP"]
 
 # The ARM/AFN family clamps input values into [1e-3, 1] so the exp/log
 # interactions stay bounded (reference armnet.py:82, armnet_1h.py:81,
@@ -23,6 +24,13 @@ def split_batch(batch):
 def squeeze_logits(y):
     """[B, 1] -> [B] (torch .squeeze() parity for the binary head)."""
     return jnp.squeeze(y, axis=-1) if y.ndim == 2 and y.shape[-1] == 1 else y
+
+
+def add_first_order(y_lin, y_deep):
+    """Combine the scalar first-order term [B] with the deep head: [B] stays
+    elementwise (binary parity); a multi-class head [B, C] broadcasts the
+    first-order logit across classes."""
+    return y_lin + y_deep if y_deep.ndim == 1 else y_lin[:, None] + y_deep
 
 
 class DeepEnsemble(nn.Module):

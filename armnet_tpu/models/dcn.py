@@ -54,6 +54,7 @@ class DCN(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -63,6 +64,6 @@ class DCN(nn.Module):
         xl = CrossNetwork(self.cn_layers, name="cross_net")(x)
         hl = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout,
                  noutput=self.mlp_nhid, name="mlp")(x, train)
-        y = TorchLinear(1, use_bias=False, name="w")(
+        y = TorchLinear(self.noutput, use_bias=False, name="w")(
             jnp.concatenate([xl, hl], axis=1))
         return squeeze_logits(y)

@@ -3,7 +3,7 @@
 
 import flax.linen as nn
 
-from armnet_tpu.models.common import split_batch, squeeze_logits
+from armnet_tpu.models.common import add_first_order, split_batch, squeeze_logits
 from armnet_tpu.ops.layers import MLP, Embedding, FeaturesLinear, fm_pool
 
 
@@ -14,6 +14,7 @@ class DeepFM(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -21,6 +22,6 @@ class DeepFM(nn.Module):
         emb = Embedding(self.nfeat, self.nemb, name="embedding")(ids, values)
         flat = emb.reshape(emb.shape[0], -1)
         y = FeaturesLinear(self.nfeat, name="linear")(ids, values) + fm_pool(emb)
-        return y + squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
-                name="mlp")(flat, train))
+        return add_first_order(y, squeeze_logits(
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
+                name="mlp")(flat, train)))

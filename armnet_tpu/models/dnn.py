@@ -13,12 +13,13 @@ class DNN(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         ids, values = split_batch(batch)
         emb = Embedding(self.nfeat, self.nemb, name="embedding")(ids, values)
         flat = emb.reshape(emb.shape[0], -1)
-        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="mlp")(flat, train)
         return squeeze_logits(y)

@@ -60,6 +60,7 @@ class GAT(nn.Module):
     dropout: float
     alpha: float = 0.2
     nhead: int = 8
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False, adj=None):
@@ -73,5 +74,5 @@ class GAT(nn.Module):
             h = nn.elu(nn.Dropout(self.dropout, deterministic=not train)(h))
         flat = h.reshape(h.shape[0], -1)
         return squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="affine")(flat, train))

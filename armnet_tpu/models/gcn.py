@@ -37,6 +37,7 @@ class GCN(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False, adj=None):
@@ -52,5 +53,5 @@ class GCN(nn.Module):
                                        deterministic=not train)(h))
         flat = h.reshape(h.shape[0], -1)
         return squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="affine")(flat, train))

@@ -3,7 +3,7 @@ plus the linear term (spec: /root/reference/models/nfm.py)."""
 
 import flax.linen as nn
 
-from armnet_tpu.models.common import split_batch, squeeze_logits
+from armnet_tpu.models.common import add_first_order, split_batch, squeeze_logits
 from armnet_tpu.ops.layers import MLP, BatchNorm, Embedding, FeaturesLinear, fm_pool
 
 
@@ -13,6 +13,7 @@ class NFM(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -22,6 +23,6 @@ class NFM(nn.Module):
         bi = BatchNorm(channel_axis=-1, name="fm_bn")(bi, train)
         bi = nn.Dropout(self.dropout, deterministic=not train)(bi)
         y = FeaturesLinear(self.nfeat, name="linear")(ids, values)
-        return y + squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
-                name="mlp")(bi, train))
+        return add_first_order(y, squeeze_logits(
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
+                name="mlp")(bi, train)))

@@ -17,6 +17,7 @@ class IPNN(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -26,7 +27,7 @@ class IPNN(nn.Module):
         prod = jnp.sum(emb[:, vi] * emb[:, vj], axis=-1)         # [B, P]
         x = jnp.concatenate([emb.reshape(emb.shape[0], -1), prod], axis=1)
         return squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="mlp")(x, train))
 
 
@@ -37,6 +38,7 @@ class KPNN(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -49,5 +51,5 @@ class KPNN(nn.Module):
         prod = jnp.einsum("bki,ikj,bkj->bk", emb[:, vi], kernel, emb[:, vj])
         x = jnp.concatenate([emb.reshape(emb.shape[0], -1), prod], axis=1)
         return squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="mlp")(x, train))

@@ -22,6 +22,7 @@ class SAGLU(nn.Module):
     ensemble: bool
     deep_nlayer: int
     deep_nhid: int
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -37,10 +38,10 @@ class SAGLU(nn.Module):
 
         glu = nn.Dropout(self.dropout, deterministic=not train)(
             glu.reshape(glu.shape[0], -1))
-        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
+        y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="mlp")(glu, train)
         if self.ensemble:
             y = DeepEnsemble(self.nfeat, self.nemb, self.nfield,
                              self.deep_nlayer, self.deep_nhid, self.dropout,
-                             1, name="ensemble")(y, ids, values, train)
+                             self.noutput, name="ensemble")(y, ids, values, train)
         return squeeze_logits(y)

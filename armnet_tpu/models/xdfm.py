@@ -6,7 +6,7 @@ as a batched einsum so the MXU executes it directly."""
 import flax.linen as nn
 import jax.numpy as jnp
 
-from armnet_tpu.models.common import split_batch, squeeze_logits
+from armnet_tpu.models.common import add_first_order, split_batch, squeeze_logits
 from armnet_tpu.ops import initializers as init
 from armnet_tpu.ops.interaction import compressed_interaction_step
 from armnet_tpu.ops.layers import MLP, Embedding, FeaturesLinear, TorchLinear
@@ -64,6 +64,7 @@ class XDeepFM(nn.Module):
     mlp_nlayer: int
     mlp_nhid: int
     dropout: float
+    noutput: int = 1
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -73,7 +74,6 @@ class XDeepFM(nn.Module):
         y = y + CompressedInteraction(self.nfield, self.cin_layers,
                                       self.nfilter, name="cin")(emb)
         flat = emb.reshape(emb.shape[0], -1)
-        y = y + squeeze_logits(
-            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, 1,
-                name="mlp")(flat, train))
-        return y
+        return add_first_order(y, squeeze_logits(
+            MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
+                name="mlp")(flat, train)))

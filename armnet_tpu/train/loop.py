@@ -21,7 +21,7 @@ import jax
 from armnet_tpu.models import create_model, param_count
 from armnet_tpu.train.checkpoint import save_checkpoint
 from armnet_tpu.train.step import (create_train_state, init_meters,
-                                   make_eval_step, make_train_step)
+                                   make_eval_step, make_train_step, task_fns)
 from armnet_tpu.utils.logging import AverageMeter, time_since
 
 __all__ = ["Trainer", "run_epoch"]
@@ -29,7 +29,7 @@ __all__ = ["Trainer", "run_epoch"]
 
 def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
               rng=None, namespace="train", report_freq=30, eval_freq=10000,
-              total_epochs=0):
+              total_epochs=0, metric_name="AUC"):
     """One pass over a loader; returns (state, mean AUC).
 
     Metrics live on device; the host fetches them only every `report_freq`
@@ -58,7 +58,8 @@ def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
             logger.info(
                 f"Epoch [{epoch:3d}/{total_epochs:3d}][{batch_idx:3d}/{nbatch}]\t"
                 f"{time_avg.val:.3f} ({time_avg.avg:.3f}) "
-                f"AUC {fetched['auc_last']:4f} ({fetched['auc_sum'] / w:4f}) "
+                f"{metric_name} {fetched['auc_last']:4f} "
+                f"({fetched['auc_sum'] / w:4f}) "
                 f"Loss {fetched['loss_last']:8.4f} ({fetched['loss_sum'] / w:8.4f})")
             timestamp = time.time()
         if batch_idx >= eval_freq:
@@ -68,7 +69,8 @@ def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
     w = max(fetched["weight"], 1.0)
     mean_auc = fetched["auc_sum"] / w
     logger.info(f"{namespace}\tTime {time_since(s=time_avg.sum):>12s} "
-                f"AUC {mean_auc:8.4f} Loss {fetched['loss_sum'] / w:8.4f}")
+                f"{metric_name} {mean_auc:8.4f} "
+                f"Loss {fetched['loss_sum'] / w:8.4f}")
     return state, float(mean_auc)
 
 
@@ -125,10 +127,15 @@ class Trainer:
             logger.info(f"mesh {dict(mesh.shape)} | sharded embedding: "
                         f"{shard_emb}")
 
+        # task: noutput > 1 means a multi-class (UCI) head — softmax CE +
+        # accuracy; otherwise the binary CTR path (BCE + ROC-AUC)
+        self.task = ("multiclass" if getattr(config, "noutput", 1) > 1
+                     else "binary")
+        _, _, self.metric_name = task_fns(self.task)
         self.train_step = make_train_step(shardings=shardings,
-                                          lookup_cm=lookup_cm)
+                                          lookup_cm=lookup_cm, task=self.task)
         self.eval_step = make_eval_step(shardings=shardings,
-                                        lookup_cm=lookup_cm)
+                                        lookup_cm=lookup_cm, task=self.task)
         self.rng = jax.random.key(seed + 7)
 
     def fit(self, epochs, patience=1, eval_freq=10000, report_freq=30):
@@ -142,17 +149,17 @@ class Trainer:
                 epoch, self.state, train_loader, self.logger,
                 train_step=self.train_step, rng=self.rng,
                 report_freq=report_freq, eval_freq=eval_freq,
-                total_epochs=epochs)
+                total_epochs=epochs, metric_name=self.metric_name)
             _, valid_auc = run_epoch(
                 epoch, self.state, val_loader, self.logger,
                 eval_step=self.eval_step, namespace="val",
                 report_freq=report_freq, eval_freq=eval_freq,
-                total_epochs=epochs)
+                total_epochs=epochs, metric_name=self.metric_name)
             _, test_auc = run_epoch(
                 epoch, self.state, test_loader, self.logger,
                 eval_step=self.eval_step, namespace="test",
                 report_freq=report_freq, eval_freq=eval_freq,
-                total_epochs=epochs)
+                total_epochs=epochs, metric_name=self.metric_name)
 
             if valid_auc >= best_valid:
                 patience_cnt = 0

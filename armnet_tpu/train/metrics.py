@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["masked_roc_auc", "masked_bce"]
+__all__ = ["masked_roc_auc", "masked_bce", "masked_accuracy",
+           "masked_softmax_ce"]
 
 
 def masked_roc_auc(logits, labels, mask=None):
@@ -50,3 +51,24 @@ def masked_bce(logits, labels, mask):
     """Mean sigmoid-BCE over valid rows (BCEWithLogitsLoss parity)."""
     losses = optax.sigmoid_binary_cross_entropy(logits, labels)
     return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_softmax_ce(logits, labels, mask):
+    """Mean softmax cross-entropy over valid rows; logits [B, C], labels [B]
+    class indices (float-carried in the batch schema, cast here). The UCI
+    multi-class loss (reference uci branch trains CrossEntropyLoss)."""
+    labels = labels.astype(jnp.int32)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_accuracy(logits, labels, mask, topk=1):
+    """Top-k accuracy over valid rows (reference utils.py:68-82 `accuracy`,
+    reported as a fraction in [0, 1] rather than percent)."""
+    labels = labels.astype(jnp.int32)
+    if topk == 1:
+        hit = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    else:
+        _, pred = jax.lax.top_k(logits, topk)            # [B, k]
+        hit = jnp.any(pred == labels[:, None], axis=-1).astype(jnp.float32)
+    return jnp.sum(hit * mask) / jnp.maximum(jnp.sum(mask), 1.0)

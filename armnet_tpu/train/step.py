@@ -15,10 +15,22 @@ import jax
 import optax
 from flax.training import train_state
 
-from armnet_tpu.train.metrics import masked_bce, masked_roc_auc
+from armnet_tpu.train.metrics import (masked_accuracy, masked_bce,
+                                      masked_roc_auc, masked_softmax_ce)
+
+
+def task_fns(task):
+    """(loss_fn, metric_fn, metric_name) for a task: 'binary' is the CTR path
+    (BCE + ROC-AUC, reference train.py:60,120); 'multiclass' is the UCI path
+    (softmax CE + top-1 accuracy, reference utils.py:68-82)."""
+    if task == "binary":
+        return masked_bce, masked_roc_auc, "AUC"
+    if task == "multiclass":
+        return masked_softmax_ce, masked_accuracy, "Acc"
+    raise ValueError(f"unknown task {task!r}")
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "make_optimizer", "init_meters"]
+           "make_eval_step", "make_optimizer", "init_meters", "task_fns"]
 
 
 class TrainState(train_state.TrainState):
@@ -62,7 +74,8 @@ def _update_meters(meters, loss, auc, n):
             "loss_last": loss, "auc_last": auc}
 
 
-def make_train_step(donate=False, shardings=None, lookup_cm=None):
+def make_train_step(donate=False, shardings=None, lookup_cm=None,
+                    task="binary"):
     """Build the jitted training step: fwd -> BCE -> bwd -> clip -> Adam,
     plus on-device AUC on the pre-update logits (reference run() parity).
     Metrics fold into device-side meters; nothing blocks the dispatch queue.
@@ -72,6 +85,7 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None):
     by XLA; row-sharded tables handled by the lookup context).
     lookup_cm: optional zero-arg contextmanager entered around every call so
     the sharded-embedding dispatch is active at trace time."""
+    loss_metric, quality_metric, _ = task_fns(task)
 
     def train_step(state, meters, batch, rng):
         dropout_key = jax.random.fold_in(rng, state.step)
@@ -82,14 +96,14 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None):
                 {"id": batch["id"], "value": batch["value"]},
                 train=True, rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
-            loss = masked_bce(logits, batch["y"], batch["mask"])
+            loss = loss_metric(logits, batch["y"], batch["mask"])
             return loss, (logits, updates)
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(
             grads=grads, batch_stats=updates["batch_stats"])
-        auc = masked_roc_auc(logits, batch["y"], batch["mask"])
+        auc = quality_metric(logits, batch["y"], batch["mask"])
         meters = _update_meters(meters, loss, auc, batch["mask"].sum())
         return state, meters
 
@@ -116,15 +130,16 @@ def _with_lookup_cm(jitted, lookup_cm):
     return wrapped
 
 
-def make_eval_step(shardings=None, lookup_cm=None):
+def make_eval_step(shardings=None, lookup_cm=None, task="binary"):
     """Jitted eval step: frozen batch_stats, no dropout."""
+    loss_metric, quality_metric, _ = task_fns(task)
 
     def eval_step(state, meters, batch):
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             {"id": batch["id"], "value": batch["value"]}, train=False)
-        loss = masked_bce(logits, batch["y"], batch["mask"])
-        auc = masked_roc_auc(logits, batch["y"], batch["mask"])
+        loss = loss_metric(logits, batch["y"], batch["mask"])
+        auc = quality_metric(logits, batch["y"], batch["mask"])
         return _update_meters(meters, loss, auc, batch["mask"].sum())
 
     kw = {}

@@ -24,6 +24,7 @@ class ExperimentConfig(ModelConfig):
     dataset: str = "frappe"
     data_dir: str = "./data/"
     workers: int = 4                # accepted for CLI parity (prefetch is async)
+    valid_perc: float = 0.0         # UCI path: validation split carved from train
     # log & checkpoint
     log_dir: str = "./log/"
     report_freq: int = 30
@@ -93,6 +94,11 @@ def build_arg_parser():
     p.add_argument("--data_dir", type=str, default=d.data_dir)
     p.add_argument("--workers", default=d.workers, type=int,
                    help="accepted for parity; loading is async prefetch")
+    p.add_argument("--valid_perc", type=float, default=d.valid_perc,
+                   help="UCI path: validation fraction carved from train")
+    p.add_argument("--noutput", type=int, default=d.noutput,
+                   help="output classes (1 = binary CTR; UCI arff datasets "
+                        "auto-set this to nclass)")
     # log & checkpoint
     p.add_argument("--log_dir", type=str, default=d.log_dir)
     p.add_argument("--report_freq", type=int, default=d.report_freq)

@@ -1,0 +1,142 @@
+"""UCI multi-class path: ARFF parsing, split files, standardization, loader
+schema, multi-class steps (softmax CE + top-k accuracy), registry guards.
+Reference behavior: data_loader.py:76-180 and utils/utils.py:68-82."""
+
+import numpy as np
+import pytest
+
+from armnet_tpu.data.uci import (Standardizer, UCIDataset, load_arff,
+                                 load_uci_dataset, uci_loader)
+
+ARFF = """% comment line
+@relation toy
+@attribute f0 numeric
+@attribute f1 numeric
+@attribute f2 numeric
+@attribute clase {0,1,2}
+@data
+1.0,2.0,3.0,0
+4.0,5.0,6.0,1
+7.0,8.0,9.0,2
+1.5,2.5,3.5,0
+4.5,5.5,6.5,1
+7.5,8.5,9.5,2
+2.0,3.0,4.0,0
+5.0,6.0,7.0,1
+"""
+
+
+@pytest.fixture
+def uci_dir(tmp_path):
+    d = tmp_path / "toy"
+    d.mkdir()
+    (d / "toy.arff").write_text(ARFF)
+    (d / "conxuntos.dat").write_text("0 1 2 3 4 5\n6 7\n")
+    return str(d)
+
+
+def test_load_arff():
+    import io, tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".arff", delete=False) as f:
+        f.write(ARFF)
+        path = f.name
+    try:
+        X, y, nclass = load_arff(path)
+    finally:
+        os.unlink(path)
+    assert X.shape == (8, 3) and X.dtype == np.float32
+    assert nclass == 3
+    np.testing.assert_array_equal(y, [0, 1, 2, 0, 1, 2, 0, 1])
+    np.testing.assert_allclose(X[1], [4.0, 5.0, 6.0])
+
+
+def test_split_indices(uci_dir):
+    Xtr, ytr, nclass = load_uci_dataset(uci_dir, train=True)
+    Xte, yte, _ = load_uci_dataset(uci_dir, train=False)
+    assert Xtr.shape == (6, 3) and Xte.shape == (2, 3)
+    np.testing.assert_array_equal(yte, [0, 1])
+    assert nclass == 3
+
+
+def test_standardizer_matches_sklearn():
+    rng = np.random.RandomState(0)
+    X = rng.randn(50, 4).astype(np.float32) * 3 + 1
+    X[:, 2] = 7.0  # zero-variance column stays finite
+    s = Standardizer(X)
+    Z = s(X)
+    np.testing.assert_allclose(Z.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(Z.std(axis=0)[[0, 1, 3]], 1.0, atol=1e-5)
+    np.testing.assert_allclose(Z[:, 2], 0.0, atol=1e-6)
+
+
+def test_uci_loader_schema(uci_dir):
+    train, valid, test = uci_loader(uci_dir, batch_size=4)
+    assert train.nclass == 3
+    batch = next(iter(train))
+    assert batch["id"].shape == (4, 3)
+    assert batch["value"].shape == (4, 3)
+    # id = column index for every row (reference data_loader.py:87-90)
+    np.testing.assert_array_equal(np.asarray(batch["id"][0]), [0, 1, 2])
+    # valid aliases train when valid_perc=0 (reference data_loader.py:118)
+    assert valid.ds is train.ds
+    # padded final batch carries a 0 mask
+    batches = list(iter(test))
+    assert float(batches[-1]["mask"].sum()) == 2.0
+
+
+def test_uci_loader_valid_split(uci_dir):
+    train, valid, test = uci_loader(uci_dir, batch_size=4, valid_perc=0.34)
+    assert len(train.ds) + len(valid.ds) == 6
+    assert len(valid.ds) == 2
+    assert valid.ds is not train.ds
+
+
+def test_masked_accuracy():
+    import jax.numpy as jnp
+
+    from armnet_tpu.train.metrics import masked_accuracy
+
+    logits = jnp.array([[2.0, 1.0, 0.0],
+                        [0.0, 3.0, 1.0],
+                        [1.0, 0.0, 2.0],
+                        [5.0, 4.0, 3.0]])
+    labels = jnp.array([0.0, 1.0, 0.0, 2.0])
+    mask = jnp.array([1.0, 1.0, 1.0, 0.0])  # the wrong row is masked out
+    acc = float(masked_accuracy(logits, labels, mask))
+    assert acc == pytest.approx(2.0 / 3.0)
+    top2 = float(masked_accuracy(logits, labels, mask, topk=2))
+    assert top2 == pytest.approx(1.0)
+
+
+def test_multiclass_train_step_learns(uci_dir):
+    import jax
+
+    from armnet_tpu.models import create_model
+    from armnet_tpu.models.config import ModelConfig
+    from armnet_tpu.train.step import (create_train_state, init_meters,
+                                       make_train_step)
+
+    train, _, _ = uci_loader(uci_dir, batch_size=8)
+    cfg = ModelConfig(model="dnn", nfeat=3, nfield=3, nemb=4, mlp_nlayer=1,
+                      mlp_nhid=16, noutput=train.nclass)
+    model = create_model(cfg)
+    batch = next(iter(train))
+    state = create_train_state(model, batch, lr=0.05, seed=0)
+    step = make_train_step(task="multiclass")
+    rng = jax.random.key(0)
+
+    meters = init_meters()
+    state, meters = step(state, meters, batch, rng)
+    first_loss = float(meters["loss_last"])
+    for _ in range(60):
+        state, meters = step(state, meters, batch, rng)
+    assert float(meters["loss_last"]) < first_loss
+    assert float(meters["auc_last"]) >= 0.9  # accuracy slot; toy set separable
+
+
+def test_scalar_models_reject_multiclass():
+    from armnet_tpu.models import create_model
+    from armnet_tpu.models.config import ModelConfig
+
+    with pytest.raises(ValueError, match="scalar head"):
+        create_model(ModelConfig(model="fm", noutput=3))

@@ -29,9 +29,23 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    train_loader, val_loader, test_loader = make_dataloaders(
-        args.dataset, args.data_dir, args.nfield, args.batch_size,
-        seed=args.seed)
+    # dataset routing: libsvm (tr*/va*/te* convention) is the CTR path;
+    # a folder holding .arff files is the UCI multi-class path
+    # (reference data_loader.py:57-73 vs :104-180)
+    import glob as _glob
+    base = os.path.join(args.data_dir, args.dataset)
+    if _glob.glob(os.path.join(base, "*.arff")):
+        from armnet_tpu.data import uci_loader
+        train_loader, val_loader, test_loader = uci_loader(
+            base, args.batch_size, valid_perc=args.valid_perc, seed=args.seed)
+        if train_loader.nclass > 2 and args.noutput <= 1:
+            args.noutput = train_loader.nclass
+        args.nfield = train_loader.ds.nfield
+        args.nfeat = max(args.nfeat, train_loader.ds.nfield)
+    else:
+        train_loader, val_loader, test_loader = make_dataloaders(
+            args.dataset, args.data_dir, args.nfield, args.batch_size,
+            seed=args.seed)
 
     base_exp_name = args.exp_name
     results = []
