@@ -84,6 +84,7 @@ class Trainer:
         self.logger = logger
         self.seed = seed
         self.ckpt_dir = ckpt_dir
+        self.profile_dir = getattr(config, "profile_dir", None)
 
         # device mesh: explicit arg > config spec > single-device (no mesh)
         mesh_spec = getattr(config, "mesh", "")
@@ -145,11 +146,22 @@ class Trainer:
 
         for epoch in range(epochs):
             self.logger.info(f"Epoch [{epoch:3d}/{epochs:3d}]")
+            # profile the steady-state epoch (epoch 1: past epoch-0 compiles)
+            # or epoch 0 on single-epoch runs; one trace per fit
+            profiling = self.profile_dir and epoch == min(1, epochs - 1)
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
             self.state, _ = run_epoch(
                 epoch, self.state, train_loader, self.logger,
                 train_step=self.train_step, rng=self.rng,
                 report_freq=report_freq, eval_freq=eval_freq,
                 total_epochs=epochs, metric_name=self.metric_name)
+            if profiling:
+                jax.tree.map(lambda x: x.block_until_ready(),
+                             self.state.params)
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to "
+                                 f"{self.profile_dir}")
             _, valid_auc = run_epoch(
                 epoch, self.state, val_loader, self.logger,
                 eval_step=self.eval_step, namespace="val",
