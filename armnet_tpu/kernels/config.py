@@ -1,15 +1,20 @@
 """Kernel backend selection: 'xla' (pure jnp, runs everywhere) vs 'pallas'
 (hand-written TPU kernels). 'auto' resolves to pallas on TPU, xla elsewhere.
-The CLI --kernels flag sets this; tests exercise both via interpret mode."""
+'pallas-fused' additionally routes the ARM-1h interaction through the fully
+fused single-kernel path (kernels/arm_pallas.py) — opt-in while its in-kernel
+bisection lowering is slower than the standalone entmax kernel (see
+BENCH_NOTES.md). The CLI --kernels flag sets this; tests exercise all modes
+via interpret mode."""
 
 import threading
 
 _state = threading.local()
 _DEFAULT = "auto"
+BACKENDS = ("auto", "xla", "pallas", "pallas-fused")
 
 
 def set_kernel_backend(name):
-    assert name in ("auto", "xla", "pallas"), name
+    assert name in BACKENDS, name
     _state.backend = name
 
 
@@ -20,10 +25,15 @@ def kernel_backend():
 def use_pallas():
     """Resolve the active backend to a concrete bool."""
     b = kernel_backend()
-    if b == "pallas":
+    if b in ("pallas", "pallas-fused"):
         return True
     if b == "xla":
         return False
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+def use_fused_arm():
+    """Fully fused ARM interaction kernel: explicit opt-in only."""
+    return kernel_backend() == "pallas-fused"

@@ -8,14 +8,16 @@ import jax.numpy as jnp
 
 from armnet_tpu.models.common import VALUE_CLAMP, DeepEnsemble, split_batch, squeeze_logits
 from armnet_tpu.ops import initializers as init
-from armnet_tpu.ops.entmax import sparse_normalizer
-from armnet_tpu.ops.interaction import arm_attention_1h, arm_exp_cross
-from armnet_tpu.ops.layers import MLP, BatchNorm, Embedding, TorchLinear
+from armnet_tpu.ops.interaction import arm1h_interaction
+from armnet_tpu.ops.layers import MLP, BatchNorm, Embedding
 
 
 class SparseAttention(nn.Module):
-    """One-head sparse attention: keys = W x (shared bilinear), gates scored
-    against a [O, d_k] query, entmax over fields, scaled by [O, F] values."""
+    """One-head sparse interaction: keys = W x (shared bilinear), gates scored
+    against a [O, d_k] query, entmax over fields, scaled by [O, F] values,
+    exponential-neuron cross product. Returns [B, O, E] (the attention and
+    the exp-cross are one fused op so the Pallas backend can keep the [B,O,F]
+    intermediates VMEM-resident)."""
 
     nfield: int
     d_k: int
@@ -25,13 +27,16 @@ class SparseAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        keys = TorchLinear(self.d_k, use_bias=False, name="bilinear_w")(x)
+        # raw [E, d_k] kernel (torch nn.Linear default init; the reference's
+        # bias-free bilinear_w, armnet_1h.py:16)
+        wk = self.param("bilinear_w",
+                        init.torch_linear_uniform(self.nemb),
+                        (self.nemb, self.d_k))
         query = self.param(
             "query", init.xavier_uniform(1.414), (self.nhid, self.d_k))
         values = self.param(
             "values", init.xavier_uniform(1.414), (self.nhid, self.nfield))
-        normalizer = sparse_normalizer(self.alpha)
-        return arm_attention_1h(keys, query, values, normalizer)   # [B,O,F]
+        return arm1h_interaction(x, wk, query, values, self.alpha)  # [B,O,E]
 
 
 class ARMNet1H(nn.Module):
@@ -57,10 +62,9 @@ class ARMNet1H(nn.Module):
         values = jnp.clip(values, *VALUE_CLAMP)
 
         emb = Embedding(self.nfeat, self.nemb, name="embedding")(ids, values)
-        arm_weight = SparseAttention(
+        x = SparseAttention(
             self.nfield, self.d_k, self.nhid, self.nemb, self.alpha,
-            name="attn_layer")(emb)                              # [B,O,F]
-        x = arm_exp_cross(emb, arm_weight)                       # [B,O,E]
+            name="attn_layer")(emb)                              # [B,O,E]
         x = BatchNorm(channel_axis=1, name="arm_bn")(x, train)   # per-neuron
         x = x.reshape(x.shape[0], -1)
 

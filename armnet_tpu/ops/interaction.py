@@ -20,8 +20,34 @@ import jax.numpy as jnp
 
 __all__ = [
     "arm_attention_multihead", "arm_attention_1h", "arm_exp_cross",
-    "anova_kernel", "cross_layer", "compressed_interaction_step",
+    "arm1h_interaction", "anova_kernel", "cross_layer",
+    "compressed_interaction_step",
 ]
+
+
+def arm1h_interaction(emb, wk, query, values, alpha, n_iter=50):
+    """Full ARM-1h interaction: emb [B,F,E] -> exponential neurons [B,O,E].
+
+    Dispatch: with --kernels pallas-fused and a static alpha > 1 the whole
+    chain runs as one VMEM-resident kernel (kernels/arm_pallas.py). The
+    default path is the jnp chain below — XLA fuses the einsums, and
+    entmax_bisect inside sparse_normalizer dispatches to the standalone
+    Pallas entmax kernel on TPU (the measured-fastest combination; see
+    BENCH_NOTES.md for why the monolithic kernel is opt-in).
+    """
+    if isinstance(alpha, (int, float)) and float(alpha) > 1.0:
+        from armnet_tpu.kernels.config import use_fused_arm
+
+        if use_fused_arm():
+            from armnet_tpu.kernels.arm_pallas import arm1h_fused
+
+            return arm1h_fused(emb, wk, query, values, float(alpha), n_iter)
+    from armnet_tpu.ops.entmax import sparse_normalizer
+
+    keys = jnp.einsum("bfe,ed->bfd", emb, wk.astype(emb.dtype))
+    w = arm_attention_1h(keys, query, values,
+                         sparse_normalizer(alpha, n_iter=n_iter))
+    return arm_exp_cross(emb, w)
 
 
 def arm_attention_multihead(emb, bilinear_w, query, values, normalizer):

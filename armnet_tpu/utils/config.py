@@ -114,7 +114,7 @@ def build_arg_parser():
                    choices=["default", "high", "highest"])
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--kernels", type=str, default=d.kernels,
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "pallas-fused"])
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help="device mesh spec, e.g. 'data:8' or 'data:4,model:2'")
     p.add_argument("--shard_embedding", action="store_true", default=False)

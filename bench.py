@@ -6,12 +6,19 @@ run.sh "CR_armnet1h"), auto kernel backend (Pallas entmax on TPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement methodology: the tunneled TPU backend on this host does NOT
+honor jax.block_until_ready (dispatch returns immediately; only a host
+fetch of a result forces completion), so naive loop timing measures
+dispatch rate, not compute. Steps are therefore chained *inside* one
+jitted lax.scan (data dependency forces sequential execution) and the
+per-step cost is the marginal between two chain lengths with a host fetch
+at the end of each — fixed tunnel round-trip cost cancels out.
+
 vs_baseline anchor: the reference publishes no throughput numbers
 (BASELINE.md) — the anchor is the reference PyTorch implementation's
 train-step throughput at the same recipe measured on this host
 (287 examples/s, torch CPU, batch 4096). Values > 1 mean faster than the
-reference implementation runs on this machine. Secondary context (measured
-once, 2026-08-16): frappe-recipe throughput is in BENCH_NOTES.md.
+reference implementation runs on this machine.
 """
 
 import json
@@ -22,8 +29,9 @@ import time
 REFERENCE_BASELINE_EXS = 287.0
 
 BATCH = 4096
-WARMUP_STEPS = 5
-MEASURE_STEPS = 50
+CHAIN_SHORT = 1
+CHAIN_LONG = 11
+REPS = 3
 
 
 def main():
@@ -52,22 +60,34 @@ def main():
         "y": jnp.asarray(rng.randint(0, 2, (BATCH,)).astype(np.float32)),
         "mask": jnp.ones((BATCH,), jnp.float32),
     }
-    state = create_train_state(model, batch, lr=1e-3, seed=0)
+    state0 = create_train_state(model, batch, lr=1e-3, seed=0)
     step = make_train_step()
     key = jax.random.key(0)
 
-    meters = init_meters()
-    for _ in range(WARMUP_STEPS):
-        state, meters = step(state, meters, batch, key)
-    jax.block_until_ready(meters)
+    def make_chain(n):
+        @jax.jit
+        def chain(state, meters):
+            def body(carry, _):
+                state, meters = carry
+                state, meters = step(state, meters, batch, key)
+                return (state, meters), ()
+            (state, meters), _ = jax.lax.scan(
+                body, (state, meters), None, length=n)
+            return meters["loss_last"]
+        return chain
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, meters = step(state, meters, batch, key)
-    jax.block_until_ready(meters)
-    dt = time.perf_counter() - t0
+    times = {}
+    for n in (CHAIN_SHORT, CHAIN_LONG):
+        chain = make_chain(n)
+        float(chain(state0, init_meters()))          # compile + 1 run
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            float(chain(state0, init_meters()))      # host fetch = barrier
+        times[n] = (time.perf_counter() - t0) / REPS
 
-    exs = MEASURE_STEPS * BATCH / dt
+    step_s = (times[CHAIN_LONG] - times[CHAIN_SHORT]) / (CHAIN_LONG -
+                                                         CHAIN_SHORT)
+    exs = BATCH / step_s
     print(json.dumps({
         "metric": "armnet_1h_criteo_train_examples_per_sec",
         "value": round(exs, 1),
@@ -78,3 +98,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
