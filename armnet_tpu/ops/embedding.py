@@ -59,10 +59,46 @@ def one_hot_embedding_bag(table, ids, values):
     return emb * values[..., None].astype(table.dtype)
 
 
+def _table_scatter_add(g, flat_ids, nrows):
+    """Scatter-add g [N,E] into [nrows,E] at flat_ids [N] — duplicate-safe.
+    Dispatches to the bucketed Pallas densify kernel on TPU (XLA's scatter
+    serializes row-by-row there: 16+ ms for 160K updates into a 2.1M-row
+    table); plain .at[].add elsewhere."""
+    from armnet_tpu.kernels.scatter_pallas import table_grad
+
+    return table_grad(g, flat_ids, nrows)
+
+
+@jax.custom_vjp
 def embedding_bag(table, ids, values):
-    """Gather rows by id and scale by value: [B, F] -> [B, F, E]."""
+    """Gather rows by id and scale by value: [B, F] -> [B, F, E].
+
+    Custom VJP: the table gradient uses the sorted-segment scatter above
+    instead of XLA's serialized duplicate-index scatter-add."""
     emb = jnp.take(table, ids, axis=0)                         # [B, F, E]
     return emb * values[..., None].astype(table.dtype)
+
+
+def _bag_fwd(table, ids, values):
+    return embedding_bag(table, ids, values), (table, ids, values)
+
+
+def _bag_bwd(res, dout):
+    import numpy as np
+
+    table, ids, values = res
+    emb = jnp.take(table, ids, axis=0)             # recompute: cheaper than
+    dvalues = jnp.sum(                             # saving [B,F,E] residuals
+        dout * emb, axis=-1).astype(values.dtype)
+    g = (dout * values[..., None].astype(dout.dtype)).reshape(
+        -1, table.shape[1])
+    dtable = _table_scatter_add(
+        g.astype(jnp.float32), ids.reshape(-1), table.shape[0])
+    return (dtable.astype(table.dtype),
+            np.zeros(ids.shape, jax.dtypes.float0), dvalues)
+
+
+embedding_bag.defvjp(_bag_fwd, _bag_bwd)
 
 
 def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None):
