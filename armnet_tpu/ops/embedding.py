@@ -17,12 +17,14 @@ TPU notes:
 """
 
 import contextlib
+import functools
 import threading
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["embedding_bag", "scaled_embedding_lookup", "one_hot_embedding_bag",
+__all__ = ["embedding_bag", "embedding_bag_flat",
+           "scaled_embedding_lookup", "one_hot_embedding_bag",
            "sharded_lookup_context"]
 
 # Active sharded-lookup context (set by the trainer when --shard_embedding is
@@ -101,10 +103,67 @@ def _bag_bwd(res, dout):
 embedding_bag.defvjp(_bag_fwd, _bag_bwd)
 
 
-def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None):
+def _flat_gather(flat_table, ids, nemb):
+    """Gather rows from a FLAT [R*E] table: [B,F] ids -> [B,F,E].
+
+    Why flat: XLA stores a [2.1M, 10] f32 table in T(8,128) tiling — the
+    10-wide minor dim pads to 128 lanes, a 12.8x physical blowup that every
+    full-table pass pays (the Adam update on the Criteo table alone measured
+    11 ms/step). A flat [R*E] vector is unpadded, so the optimizer runs at
+    true bandwidth (0.33 ms measured); only the gather pays one reshape view
+    into the padded row layout (a 1-D lax.gather avoids the view but lowers
+    to a serialized dynamic-slice loop — 150+ ms — so rows it is)."""
+    table2d = flat_table.reshape(-1, nemb)
+    return jnp.take(table2d, ids, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def embedding_bag_flat(flat_table, ids, values, nemb):
+    """Value-scaled embedding-bag over a flat [R*E] table -> [B,F,E]."""
+    emb = _flat_gather(flat_table, ids, nemb)
+    return emb * values[..., None].astype(emb.dtype)
+
+
+def _bag_flat_fwd(flat_table, ids, values, nemb):
+    # save the gathered rows (B*F*E floats, ~6 MB) — recomputing them in the
+    # bwd would rebuild the padded 2-D table view, a 1.6 ms relayout
+    emb = _flat_gather(flat_table, ids, nemb)
+    out = emb * values[..., None].astype(emb.dtype)
+    # flat_table rides along only for its static shape/dtype (no data read)
+    return out, (emb, ids, values, flat_table)
+
+
+def _bag_flat_bwd(nemb, res, dout):
+    import numpy as np
+
+    emb, ids, values, flat_table = res
+    flat_rows, tdtype = flat_table.shape[0], flat_table.dtype
+    dvalues = jnp.sum(dout * emb, axis=-1).astype(values.dtype)
+    g = (dout * values[..., None].astype(dout.dtype)).reshape(-1, nemb)
+    dtable = _table_scatter_add(
+        g.astype(jnp.float32), ids.reshape(-1), flat_rows // nemb)
+    # pin the flat view here: without the barrier XLA sinks this reshape
+    # below the optimizer's elementwise ops, which then all run in the
+    # padded 2-D layout (measured 4.9 ms/step of extra traffic)
+    dflat = jax.lax.optimization_barrier(dtable.reshape(-1).astype(tdtype))
+    return (dflat, np.zeros(ids.shape, jax.dtypes.float0), dvalues)
+
+
+embedding_bag_flat.defvjp(_bag_flat_fwd, _bag_flat_bwd)
+
+
+def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None,
+                            nemb=None):
     """Dispatching embedding-bag: the sharded collective path when a
     sharded_lookup_context is active and the table divides the model axis,
-    else the MXU one-hot path for tiny tables, else plain gather."""
+    else the MXU one-hot path for tiny tables, else gather (flat-table fast
+    path when the table arrives as a [R*E] vector)."""
+    flat = table.ndim == 1
+    if flat:
+        assert nemb, "flat tables need nemb"
+        nrows = table.shape[0] // nemb
+    else:
+        nrows = table.shape[0]
     cfg = getattr(_ctx, "cfg", None)
     if cfg is not None:
         from armnet_tpu.parallel.embedding_parallel import (
@@ -113,14 +172,18 @@ def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None):
 
         mesh = cfg["mesh"]
         nshards = mesh.shape.get(MODEL_AXIS, 1)
-        if nshards > 1 and table.shape[0] % nshards == 0:
+        if nshards > 1 and nrows % nshards == 0:
+            t2 = table.reshape(nrows, -1) if flat else table
             if cfg["impl"] == "a2a":
                 return sharded_embedding_bag_a2a(
-                    table, ids, values, mesh,
+                    t2, ids, values, mesh,
                     capacity_factor=cfg["capacity_factor"])
-            return sharded_embedding_bag(table, ids, values, mesh)
+            return sharded_embedding_bag(t2, ids, values, mesh)
     if use_one_hot is None:
-        use_one_hot = table.shape[0] <= ONE_HOT_MAX_ROWS
+        use_one_hot = nrows <= ONE_HOT_MAX_ROWS
     if use_one_hot:
-        return one_hot_embedding_bag(table, ids, values)
+        t2 = table.reshape(nrows, -1) if flat else table
+        return one_hot_embedding_bag(t2, ids, values)
+    if flat:
+        return embedding_bag_flat(table, ids, values, nemb)
     return embedding_bag(table, ids, values)

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["xavier_uniform", "torch_linear_uniform", "zeros", "constant"]
+__all__ = ["xavier_uniform", "xavier_uniform_flat", "torch_linear_uniform",
+           "zeros", "constant"]
 
 
 def _torch_fans(shape):
@@ -56,5 +57,20 @@ def zeros(key, shape, dtype=jnp.float32):
 def constant(value):
     def init(key, shape, dtype=jnp.float32):
         return jnp.full(shape, value, dtype)
+
+    return init
+
+
+def xavier_uniform_flat(nrows, ncols, gain=1.0):
+    """xavier_uniform_ for a logically-[nrows, ncols] table stored FLAT
+    [nrows*ncols] (unpadded TPU layout; see ops/embedding.py). Identical iid
+    element distribution to the 2-D init."""
+    import jax
+    import math
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (nrows * ncols,), (shape, nrows, ncols)
+        a = gain * math.sqrt(6.0 / (nrows + ncols))
+        return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
 
     return init

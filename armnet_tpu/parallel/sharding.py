@@ -20,18 +20,23 @@ from armnet_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 __all__ = ["table_spec", "state_shardings", "batch_sharding", "leaf_spec"]
 
 
-def table_spec(mesh):
-    """Row-sharded table spec when the mesh has a model axis, else replicated."""
+def table_spec(mesh, ndim=2):
+    """Row-sharded table spec when the mesh has a model axis, else replicated.
+    Flat [nfeat*nemb] tables shard their single axis (contiguous row blocks —
+    identical data ownership to row-sharding the 2-D view)."""
     if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] > 1:
-        return P(MODEL_AXIS, None)
+        return P(MODEL_AXIS, *([None] * (ndim - 1)))
     return P()
 
 
 def leaf_spec(leaf, nfeat, mesh, shard_embedding):
     """PartitionSpec for one state leaf."""
-    if (shard_embedding and hasattr(leaf, "ndim") and leaf.ndim == 2
-            and leaf.shape[0] == nfeat):
-        return table_spec(mesh)
+    if shard_embedding and hasattr(leaf, "ndim"):
+        if leaf.ndim == 2 and leaf.shape[0] == nfeat:
+            return table_spec(mesh, 2)
+        if (leaf.ndim == 1 and leaf.shape[0] >= nfeat
+                and leaf.shape[0] % nfeat == 0):
+            return table_spec(mesh, 1)       # flat-stored table
     return P()
 
 

@@ -156,7 +156,7 @@ def test_armnet_1h_numeric_parity_via_weight_transplant():
 
     sd = {
         "embedding.embedding.weight": t(params["embedding"]["embedding"]),
-        "attn_layer.bilinear_w.weight": t(params["attn_layer"]["bilinear_w"]["kernel"].T),
+        "attn_layer.bilinear_w.weight": t(params["attn_layer"]["bilinear_w"].T),
         "attn_layer.query": t(params["attn_layer"]["query"]),
         "attn_layer.values": t(params["attn_layer"]["values"]),
         "arm_bn.weight": t(params["arm_bn"]["BatchNorm_0"]["scale"]),
