@@ -49,27 +49,7 @@ def _pad_up(x, m):
     return -(-x // m) * m
 
 
-def _pow_inv(z, inv_am1):
-    """clamp(z,0) ** (1/(alpha-1)) with static-exponent specialization."""
-    z = jnp.maximum(z, 0.0)
-    if inv_am1 == 1.0:          # alpha = 2 (sparsemax)
-        return z
-    if inv_am1 == 2.0:          # alpha = 1.5
-        return z * z
-    if inv_am1 == 3.0:
-        return z * z * z
-    return jnp.power(z, inv_am1)
-
-
-def _pow_static(y, e):
-    """y ** e for y >= 0 with static-exponent specialization."""
-    if e == 0.0:
-        return jnp.ones_like(y)
-    if e == 0.5:                # alpha = 1.5
-        return jnp.sqrt(y)
-    if e == 1.0:
-        return y
-    return jnp.power(jnp.maximum(y, 1e-38), e)
+from armnet_tpu.kernels.entmax_common import pow_static as _pow_static
 
 
 def _bisect_axis1(x, alpha, n_iter):
@@ -85,35 +65,12 @@ def _bisect_axis1(x, alpha, n_iter):
     return jnp.transpose(y, (1, 0, 2))
 
 
-_F32_CONVERGED_ITERS = 30
-
-
 def _bisect_axis0(x, alpha, n_iter):
-    """alpha-entmax over the major axis of an [F, ...] value. Same bracketing
-    math as ops.entmax / kernels.entmax_pallas."""
-    n_iter = min(int(n_iter), _F32_CONVERGED_ITERS)
-    am1 = alpha - 1.0
-    inv_am1 = 1.0 / am1
-    x = x * am1
-    d = x.shape[0]
+    """alpha-entmax over the major axis (hybrid bisection+Newton solver,
+    kernels/entmax_common.py)."""
+    from armnet_tpu.kernels.entmax_common import solve_entmax_axis0
 
-    max_val = jnp.max(x, axis=0, keepdims=True)
-    tau_lo = max_val - 1.0
-    tau_hi = max_val - (1.0 / d) ** am1
-    f_lo = jnp.sum(_pow_inv(x - tau_lo, inv_am1), 0, keepdims=True) - 1.0
-    dm = tau_hi - tau_lo
-
-    def body(_, carry):
-        dm, tau_lo, _ = carry
-        dm = dm * 0.5
-        tau_m = tau_lo + dm
-        f_m = jnp.sum(_pow_inv(x - tau_m, inv_am1), 0, keepdims=True) - 1.0
-        tau_lo = jnp.where(f_m * f_lo >= 0, tau_m, tau_lo)
-        return dm, tau_lo, tau_m
-
-    _, _, tau_m = lax.fori_loop(0, n_iter, body, (dm, tau_lo, tau_lo))
-    p = _pow_inv(x - tau_m, inv_am1)
-    return p / jnp.sum(p, 0, keepdims=True)
+    return solve_entmax_axis0(x, alpha, n_iter)
 
 
 def _bisect_bwd_axis1(y, dy, alpha):

@@ -22,7 +22,11 @@ def test_entmax_kernel_matches_jnp(alpha):
     with pltpu.force_tpu_interpret_mode():
         yk = entmax_pallas(x, alpha=alpha)
     yr = entmax_bisect(x, alpha=float(alpha))
-    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=5e-6)
+    # alpha > 2: p = z^(1/(alpha-1)) has unbounded slope at the support
+    # boundary, so two tau solves both converged to f32 precision can differ
+    # by ~1e-5 in p exactly at entering/leaving coordinates
+    atol = 1e-5 if alpha > 2 else 5e-6
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=atol)
 
 
 @pytest.mark.parametrize("alpha", [1.5, 1.7, 2.0])
