@@ -37,3 +37,22 @@ def use_pallas():
 def use_fused_arm():
     """Fully fused ARM interaction kernel: explicit opt-in only."""
     return kernel_backend() == "pallas-fused"
+
+
+_DTYPE_DEFAULT = "float32"
+
+
+def set_compute_dtype(name):
+    """Activation compute dtype: 'float32' or 'bfloat16' (--bf16). Embedding
+    outputs are cast to this; the shared layers follow their input dtype, so
+    the whole interaction/MLP path inherits it. Losses/metrics and the entmax
+    solve stay f32."""
+    assert name in ("float32", "bfloat16"), name
+    _state.dtype = name
+
+
+def compute_dtype():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(_state, "dtype",
+                                   _DTYPE_DEFAULT) == "bfloat16" else         jnp.float32

@@ -115,7 +115,10 @@ class Embedding(nn.Module):
         else:
             table = self.param(
                 "embedding", init.xavier_uniform(), (self.nfeat, self.nemb))
-        return scaled_embedding_lookup(table, ids, values, nemb=self.nemb)
+        from armnet_tpu.kernels.config import compute_dtype
+
+        emb = scaled_embedding_lookup(table, ids, values, nemb=self.nemb)
+        return emb.astype(compute_dtype())
 
 
 class FeaturesLinear(nn.Module):

@@ -49,6 +49,7 @@ def masked_roc_auc(logits, labels, mask=None):
 
 def masked_bce(logits, labels, mask):
     """Mean sigmoid-BCE over valid rows (BCEWithLogitsLoss parity)."""
+    logits = logits.astype(jnp.float32)
     losses = optax.sigmoid_binary_cross_entropy(logits, labels)
     return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -58,7 +59,8 @@ def masked_softmax_ce(logits, labels, mask):
     class indices (float-carried in the batch schema, cast here). The UCI
     multi-class loss (reference uci branch trains CrossEntropyLoss)."""
     labels = labels.astype(jnp.int32)
-    losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    losses = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
     return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 

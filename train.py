@@ -17,8 +17,11 @@ def main():
     args = get_args()
 
     import jax
-    from armnet_tpu.kernels.config import set_kernel_backend
+    from armnet_tpu.kernels.config import (set_compute_dtype,
+                                            set_kernel_backend)
     set_kernel_backend(args.kernels)
+    if args.bf16:
+        set_compute_dtype("bfloat16")
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     # persistent compilation cache: repeated runs skip the multi-minute
