@@ -137,13 +137,16 @@ def _table_grad_tpu(g, flat_ids, nrows, interpret=False):
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
+    # out_shape is the exact row count: Pallas masks the last block's
+    # out-of-bounds rows, and an [rp, e] + out[:nrows] slice would copy the
+    # whole padded table (measured 3.3 ms at Criteo scale)
     out = pl.pallas_call(
         functools.partial(_kernel, n=n, e=e),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rp, e), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nrows, e), jnp.float32),
         interpret=interpret,
     )(starts, payload)
-    return out[:nrows]
+    return out
 
 
 def table_grad(g, flat_ids, nrows):
