@@ -1,0 +1,109 @@
+"""Unit tests for the shared layer primitives that models exercise only
+indirectly: pair-index helpers, normalize_adj, self-attention blocks, the
+ANOVA kernel, FM pooling, and the learnable-alpha entmax gradient
+(reference behaviors: models/layers.py, models/hofm.py:10-22,
+utils/entmax.py:82-98)."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armnet_tpu.ops.interaction import anova_kernel
+from armnet_tpu.ops.layers import (MLP, MultiHeadAttention, SelfAttnLayer,
+                                   all_pair_indices, fm_pool, normalize_adj,
+                                   triu_indices)
+
+
+def test_pair_index_helpers():
+    vi, vj = triu_indices(4)
+    got = sorted(zip(np.asarray(vi).tolist(), np.asarray(vj).tolist()))
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    ai, aj = all_pair_indices(3)
+    assert len(ai) == 9 and len(aj) == 9
+
+
+def test_normalize_adj():
+    adj = jnp.asarray([[0.0, 1.0], [1.0, 1.0]])
+    got = np.asarray(normalize_adj(adj))
+    # D^-1/2 (A) D^-1/2 with row-sum degrees
+    d = np.asarray([1.0, 2.0]) ** -0.5
+    want = np.diag(d) @ np.asarray(adj) @ np.diag(d)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_self_attn_layer():
+    x = jax.random.normal(jax.random.key(0), (3, 5, 8))
+    layer = SelfAttnLayer(8)
+    var = layer.init(jax.random.key(1), x)
+    out, weights = layer.apply(var, x)
+    assert out.shape == (3, 5, 8)
+    assert weights.shape == (3, 5, 5)
+    np.testing.assert_allclose(np.asarray(weights.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_multihead_attention():
+    x = jax.random.normal(jax.random.key(0), (2, 6, 8))
+    layer = MultiHeadAttention(nhead=2, n_k=4, n_v=4)
+    var = layer.init({"params": jax.random.key(1),
+                      "dropout": jax.random.key(2)}, x, train=False)
+    out, attn = layer.apply(var, x, train=False)
+    assert out.shape == (2, 6, 8)           # residual + LayerNorm keeps shape
+    assert attn.shape[-2:] == (6, 6)
+
+
+def test_anova_kernel_vs_bruteforce():
+    bsz, nfield, nemb, order = 2, 5, 3, 3
+    x = jax.random.normal(jax.random.key(3), (bsz, nfield, nemb))
+    got = np.asarray(anova_kernel(x, order))
+    xn = np.asarray(x)
+    want = np.zeros(bsz)
+    for combo in itertools.combinations(range(nfield), order):
+        prod = np.ones((bsz, nemb))
+        for f in combo:
+            prod = prod * xn[:, f, :]
+        want += prod.sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_fm_pool_formula():
+    x = jax.random.normal(jax.random.key(4), (3, 4, 6))
+    xn = np.asarray(x)
+    want_vec = 0.5 * ((xn.sum(1)) ** 2 - (xn ** 2).sum(1))
+    np.testing.assert_allclose(np.asarray(fm_pool(x, reduce_dim=False)),
+                               want_vec, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fm_pool(x)), want_vec.sum(-1),
+                               rtol=1e-5)
+
+
+def test_entmax_learnable_alpha_grad():
+    """d/d_alpha via the custom VJP matches central finite differences
+    (reference utils/entmax.py:82-98 Tsallis term)."""
+    from armnet_tpu.ops.entmax import entmax_bisect
+
+    x = jax.random.normal(jax.random.key(5), (4, 7)) * 1.5
+    w = jax.random.normal(jax.random.key(6), (4, 7))
+
+    def loss(alpha):
+        return jnp.sum(entmax_bisect(x, alpha=alpha) * w)
+
+    a0 = jnp.asarray(1.6)
+    g = float(jax.grad(loss)(a0))
+    eps = 1e-3
+    fd = float((loss(a0 + eps) - loss(a0 - eps)) / (2 * eps))
+    assert g == pytest.approx(fd, rel=2e-2, abs=1e-4)
+
+
+def test_mlp_zero_layers_degenerates_to_linear():
+    """nlayers==0 -> a single Linear (reference models/layers.py:79)."""
+    x = jax.random.normal(jax.random.key(7), (5, 12))
+    mlp = MLP(0, 16, 0.0, 3)
+    var = mlp.init({"params": jax.random.key(8),
+                    "dropout": jax.random.key(9)}, x, train=False)
+    out = mlp.apply(var, x, train=False)
+    assert out.shape == (5, 3)
+    # exactly one kernel param
+    leaves = jax.tree.leaves(var["params"])
+    assert len(leaves) == 2  # kernel + bias
