@@ -40,8 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["table_grad", "table_grad_reference"]
 
-BUCKET = 1024     # table rows per grid step (output block height)
-CHUNK = 256       # update rows consumed per inner iteration
+import os
+
+BUCKET = int(os.environ.get("ARMNET_SCATTER_BUCKET", 2048))  # table rows per grid step
+CHUNK = int(os.environ.get("ARMNET_SCATTER_CHUNK", 256))     # updates per inner iter
 ALIGN = 128       # window offset/shape alignment (HBM minor-dim tiling)
 WIN = CHUNK + ALIGN
 
@@ -80,17 +82,20 @@ def _kernel(starts_ref, payload_hbm, out_ref, pay_scr, sems, *, n, e):
         local = win[e, :].reshape(1, WIN).astype(jnp.int32) - base
 
         onehot = jnp.where((rows == local) & valid, 1.0, 0.0)
-        # two-term bf16 split (hi + residual): 2 DEFAULT MXU passes instead
-        # of HIGHEST's 6, ~1e-5 relative accuracy on the raw gradient values
-        # (the one-hot operand is bf16-exact, so the split is exact in it)
+        # two-term bf16 split (hi + residual): DEFAULT MXU passes instead of
+        # HIGHEST's 6, ~1e-5 relative accuracy on the raw gradient values
+        # (the one-hot operand is bf16-exact, so the split is exact in it).
+        # Both terms ride ONE dot: rhs [WIN, 2e] still sits inside the same
+        # 128-lane output pad as [WIN, e], so stacking hi|residual on the
+        # lane axis halves the MXU passes for free; the halves are summed
+        # on the VPU afterwards.
         g_all = win[:e, :]
         g_hi = g_all.astype(jnp.bfloat16).astype(jnp.float32)
-        dn = (((1,), (1,)), ((), ()))                      # [BUCKET, e]
-        return (acc
-                + jax.lax.dot_general(onehot, g_hi, dn,
-                                      preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(onehot, g_all - g_hi, dn,
-                                      preferred_element_type=jnp.float32))
+        g2 = jnp.concatenate([g_hi, g_all - g_hi], axis=0)  # [2e, WIN]
+        dn = (((1,), (1,)), ((), ()))                       # [BUCKET, 2e]
+        out2 = jax.lax.dot_general(onehot, g2, dn,
+                                   preferred_element_type=jnp.float32)
+        return acc + out2[:, :e] + out2[:, e:]
 
     acc = lax.fori_loop(0, nchunks, body,
                         jnp.zeros((BUCKET, e), jnp.float32))
@@ -124,29 +129,167 @@ def _table_grad_tpu(g, flat_ids, nrows, interpret=False):
         payload = jnp.concatenate([payload, pad], axis=1)
         n = np_
 
+    out_spec = pl.BlockSpec((BUCKET, e), lambda i, starts: (i, 0),
+                            memory_space=pltpu.VMEM)
+    # out_shape is the exact row count: Pallas masks the last block's
+    # out-of-bounds rows, and an [rp, e] + out[:nrows] slice would copy
+    # the whole padded table (measured 3.3 ms at Criteo scale)
+    out_shape = jax.ShapeDtypeStruct((nrows, e), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # sorted payload (HBM)
         ],
-        out_specs=pl.BlockSpec((BUCKET, e), lambda i, starts: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((ep, WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
-    # out_shape is the exact row count: Pallas masks the last block's
-    # out-of-bounds rows, and an [rp, e] + out[:nrows] slice would copy the
-    # whole padded table (measured 3.3 ms at Criteo scale)
     out = pl.pallas_call(
         functools.partial(_kernel, n=n, e=e),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nrows, e), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(starts, payload)
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2: grouped densify for FLAT-layout gradients.
+#
+# The v1 kernel's [nrows, e] output lives in XLA's T(8,128) tiling, where an
+# e=10 minor dim pads to 128 lanes — every write (and the downstream reshape
+# to the flat [R*E] optimizer layout) moves 12.8x the logical bytes, and the
+# one-hot dot fills only e of 128 output lanes. v2 removes both taxes with a
+# digit factorization of the one-hot: split each table row r into
+# (group, slot) = (r // k, r % k) with k = 128/gcd(e, 128), and compute
+#
+#   out[group, slot*e + c] = sum_w [group(w) == group] * rhs[w, slot*e + c]
+#   rhs[w, slot*e + c]     = [slot(w) == slot] * g[w, c]
+#
+# i.e. the dot's lhs selects the GROUP digit, the rhs encodes the SLOT digit
+# by placing g's row in its slot's lane range. The output block is
+# [128 groups, k*e lanes] — k*e is a 128-multiple, so the layout is exactly
+# tiled (zero padding), the MXU runs at full lane occupancy, and
+# reshape(-1) of the [G, k*e] result IS the row-major flat gradient.
+#
+# Payload is row-major [N, 128] (grads in cols 0..e-1, id as exact-int f32
+# in col e) — no [e, N] transpose on the host side, windows are [WIN, 128]
+# slices with 8-row-aligned offsets; a separate [1, N] id row feeds the lhs
+# so neither operand needs an in-kernel transpose.
+# ---------------------------------------------------------------------------
+
+CHUNK2 = int(os.environ.get("ARMNET_SCATTER_CHUNK2", 256))
+WIN2 = CHUNK2 + 8                       # row-offset alignment slop
+
+
+def _kernel_v2(starts_ref, payload_hbm, out_ref, pay_scr, sems, *, n, e, k):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
+    nchunks = (end - start + CHUNK2 - 1) // CHUNK2
+    bucket = 128 * k
+    base = b * bucket
+
+    g1_lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)       # groups
+    slot_lane = lax.broadcasted_iota(jnp.int32, (1, k * e), 1) // e
+
+    def body(j, acc):
+        off = start + j * CHUNK2
+        off_c = jnp.minimum(off, n - WIN2)
+        off_a = pl.multiple_of(off_c - lax.rem(off_c, 8), 8)
+        cp = pltpu.make_async_copy(
+            payload_hbm.at[pl.ds(off_a, WIN2), :], pay_scr, sems.at[0])
+        cp.start()
+        cp.wait()
+
+        # everything is sublane-oriented — no transpose anywhere; the dot
+        # contracts the window axis as sublanes of BOTH operands (the native
+        # "A^T B" MXU form)
+        pos = off_a + lax.broadcasted_iota(jnp.int32, (WIN2, 1), 0)
+        # only this chunk's own range: the alignment shift and the
+        # end-of-array clamp both re-read already-handled rows
+        valid = (pos >= off) & (pos < jnp.minimum(off + CHUNK2, end))
+        local = pay_scr[:, e:e + 1].astype(jnp.int32) - base     # [WIN2, 1]
+
+        # lhs: [WIN2, 128] group one-hot (masked)
+        onehot = jnp.where((local // k == g1_lane) & valid, 1.0, 0.0)
+
+        # rhs: [WIN2, k*e] slot-expanded gradient rows (no masking needed —
+        # invalid rows hit all-zero one-hot rows)
+        m = lax.rem(local, k) == slot_lane                       # [WIN2, k*e]
+        g_all = pay_scr[:, :e]                                   # [WIN2, e]
+        g_hi = g_all.astype(jnp.bfloat16).astype(jnp.float32)
+        rhs_hi = jnp.where(m, pltpu.repeat(g_hi, k, 1), 0.0)
+        rhs_lo = jnp.where(m, pltpu.repeat(g_all - g_hi, k, 1), 0.0)
+
+        dn = (((0,), (0,)), ((), ()))                            # [128, k*e]
+        return (acc
+                + jax.lax.dot_general(onehot, rhs_hi, dn,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(onehot, rhs_lo, dn,
+                                      preferred_element_type=jnp.float32))
+
+    acc = lax.fori_loop(0, nchunks, body,
+                        jnp.zeros((128, k * e), jnp.float32))
+    out_ref[:] = acc
+
+
+def _table_grad_tpu_v2(g, flat_ids, nrows, interpret=False):
+    """Flat-layout densify: returns the row-major [nrows*e] gradient."""
+    import math
+
+    n, e = g.shape
+    assert nrows < 2 ** 24 and e <= 120
+    k = 128 // math.gcd(e, 128)
+    bucket = 128 * k
+
+    order = jnp.argsort(flat_ids)
+    sid = flat_ids[order].astype(jnp.int32)
+    sg = g[order].astype(jnp.float32)
+
+    nb = -(-nrows // bucket)
+    starts = jnp.searchsorted(
+        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * bucket).astype(sid.dtype)
+    ).astype(jnp.int32)
+
+    # row-major payload [N_pad, 128]: grads | id | zeros; padded ids -1
+    np_ = max(WIN2, -(-n // 8) * 8)
+    payload = jnp.concatenate(
+        [sg, sid[:, None].astype(jnp.float32),
+         jnp.zeros((n, 128 - e - 1), jnp.float32)], axis=1)
+    if np_ != n:
+        payload = jnp.concatenate(
+            [payload,
+             jnp.zeros((np_ - n, 128), jnp.float32)
+             .at[:, e].set(-1.0)], axis=0)
+        n = np_
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # payload (HBM)
+        ],
+        out_specs=pl.BlockSpec((128, k * e), lambda i, starts: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((WIN2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    # exact-tiled output: [row groups, k*e]; the ragged last group (when
+    # nrows % k != 0) is masked by Pallas and sliced off after the flatten
+    ng = -(-nrows // k)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, n=n, e=e, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, k * e), jnp.float32),
+        interpret=interpret,
+    )(starts, payload)
+    return out.reshape(-1)[:nrows * e]
 
 
 def table_grad(g, flat_ids, nrows):
@@ -155,3 +298,21 @@ def table_grad(g, flat_ids, nrows):
     if jax.default_backend() == "tpu" and nrows < 2 ** 24:
         return _table_grad_tpu(g, flat_ids, nrows)
     return table_grad_reference(g, flat_ids, nrows)
+
+
+def table_grad_flat(g, flat_ids, nrows):
+    """Like table_grad but returns the row-major FLAT [nrows*E] gradient —
+    the layout of flat-stored tables (ops/embedding.py).
+
+    Dispatch note: the v2 grouped kernel (exact-tiled output, no padded
+    [nrows, E] intermediate) is numerically verified on TPU (4.8e-6 rel)
+    but measured 7.7 ms vs v1's 4.2 ms at the Criteo shape — its A^T B dot
+    contracts over the sublane axis, which Mosaic lowers ~5x slower than a
+    major-axis contraction (same pathology recorded in BENCH_NOTES.md), and
+    that swamps the layout savings. v1 + XLA reshape stays the default;
+    set ARMNET_SCATTER_V2=1 to flip (for future Mosaic versions)."""
+    if jax.default_backend() == "tpu" and nrows < 2 ** 24:
+        if os.environ.get("ARMNET_SCATTER_V2") == "1" and g.shape[1] <= 120:
+            return _table_grad_tpu_v2(g, flat_ids, nrows)
+        return _table_grad_tpu(g, flat_ids, nrows).reshape(-1)
+    return table_grad_reference(g, flat_ids, nrows).reshape(-1)

@@ -144,12 +144,15 @@ def _bag_flat_bwd(nemb, res, dout):
     flat_rows, tdtype = flat_table.shape[0], flat_table.dtype
     dvalues = jnp.sum(dout * emb, axis=-1).astype(values.dtype)
     g = (dout * values[..., None].astype(dout.dtype)).reshape(-1, nemb)
-    dtable = _table_scatter_add(
-        g.astype(jnp.float32), ids.reshape(-1), flat_rows // nemb)
-    # pin the flat view here: without the barrier XLA sinks this reshape
-    # below the optimizer's elementwise ops, which then all run in the
-    # padded 2-D layout (measured 4.9 ms/step of extra traffic)
-    dflat = jax.lax.optimization_barrier(dtable.reshape(-1).astype(tdtype))
+    from armnet_tpu.kernels.scatter_pallas import table_grad_flat
+
+    # the kernel emits the flat [R*E] layout directly — no padded [R, E]
+    # intermediate exists for XLA to sink optimizer work into (the earlier
+    # reshape+optimization_barrier pinning is moot, but the barrier stays as
+    # a belt: without it XLA once re-materialized the 2-D view, 4.9 ms/step)
+    dflat = jax.lax.optimization_barrier(
+        table_grad_flat(g.astype(jnp.float32), ids.reshape(-1),
+                        flat_rows // nemb).astype(tdtype))
     return (dflat, np.zeros(ids.shape, jax.dtypes.float0), dvalues)
 
 

@@ -54,19 +54,23 @@ def main():
         return ids0 + (s * 0).astype(jnp.int32), g0 + s * 0
 
     def argsort_body(s):
+        # dynamic index (unknown at trace time) so XLA can't reduce the sort
+        # to an argmin/selection of a static position
         ids, g = dyn(s)
+        k = (s * 0).astype(jnp.int32) + 12345
         order = jnp.argsort(ids)
-        return s * 0 + order[0].astype(jnp.float32)
+        return s * 0 + order[k].astype(jnp.float32)
 
     def sort_gather_body(s):
         ids, g = dyn(s)
+        k = (s * 0).astype(jnp.int32) + 12345
         order = jnp.argsort(ids)
         sid = ids[order]
         sg = g[order]
         payload = jnp.concatenate(
             [sg.T, sid[None, :].astype(jnp.float32),
              jnp.zeros((16 - E - 1, N), jnp.float32)], axis=0)
-        return s * 0 + payload[0, 0] + payload[E, -1]
+        return s * 0 + payload[0, k] + payload[E, k]
 
     def full_body(s):
         ids, g = dyn(s)

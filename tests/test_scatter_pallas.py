@@ -52,6 +52,69 @@ def test_boundary_ids():
     _check(g, ids, nrows)
 
 
+def test_flat_output_variant():
+    """table_grad_flat returns the row-major [nrows*E] gradient."""
+    from armnet_tpu.kernels.scatter_pallas import table_grad_flat
+
+    k = jax.random.split(jax.random.key(4), 2)
+    n, e, nrows = 5000, 10, 6001          # nrows % BUCKET != 0
+    ids = jax.random.randint(k[0], (n,), 0, nrows, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+    got = table_grad_flat(g, ids, nrows)
+    assert got.shape == (nrows * e,)
+    want = table_grad_reference(g, ids, nrows).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,e,nrows", [
+    (5000, 10, 20001),     # duplicates, ragged last group (20001 % 64 != 0)
+    (37, 4, 3001),         # n < CHUNK2 padding path
+    (3000, 6, 4096),       # heavy duplicates via small id range below
+    (500, 1, 16999),       # e=1 (Linear first-order weight tables), k=128
+    (800, 16, 9000),       # e divides 128 exactly, k=8
+])
+def test_v2_grouped_kernel_parity(n, e, nrows):
+    """v2 grouped densify (digit-factorized one-hot, exact-tiled output) vs
+    plain scatter-add, interpret mode."""
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v2
+
+    k = jax.random.split(jax.random.key(7), 2)
+    ids = jax.random.randint(k[0], (n,), 0, nrows, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+    got = _table_grad_tpu_v2(g, ids, nrows, interpret=True)
+    want = table_grad_reference(g, ids, nrows).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_v2_all_same_id():
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v2
+
+    n, e, nrows = 3000, 6, 40960
+    ids = jnp.full((n,), 12345, jnp.int32)
+    g = jnp.ones((n, e), jnp.float32)
+    got = _table_grad_tpu_v2(g, ids, nrows, interpret=True)
+    want = table_grad_reference(g, ids, nrows).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_v2_boundary_ids():
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v2
+
+    e = 10
+    bucket = 128 * (128 // np.gcd(e, 128))          # 8192
+    nrows = 2 * bucket + 7
+    ids = jnp.asarray([0, bucket - 1, bucket, 2 * bucket - 1, nrows - 1, 0,
+                       63, 64, 127, 128], jnp.int32)
+    g = jnp.arange(10 * e, dtype=jnp.float32).reshape(10, e)
+    got = _table_grad_tpu_v2(g, ids, nrows, interpret=True)
+    want = table_grad_reference(g, ids, nrows).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_embedding_bag_grad_uses_it():
     """End-to-end: embedding_bag custom VJP table grad matches autodiff of
     the plain formulation."""
