@@ -147,6 +147,22 @@ class LibsvmDataset:
         return self.labels.shape[0]
 
 
+def _process_local_rows(global_batch):
+    """[lo, hi) rows of the global batch owned by this process.
+
+    make_array_from_process_local_data splits the sharded leading axis
+    evenly across processes in process-index order; the global batch size
+    must divide process_count (enforced by the caller's batch geometry)."""
+    import jax
+
+    nproc = jax.process_count()
+    per = global_batch // nproc
+    assert per * nproc == global_batch, (
+        f"global batch {global_batch} must divide process count {nproc}")
+    pid = jax.process_index()
+    return pid * per, (pid + 1) * per
+
+
 class BatchIterator:
     """Fixed-shape batches with device prefetch.
 
@@ -176,22 +192,46 @@ class BatchIterator:
             return rng.permutation(n)
         return np.arange(n)
 
-    def _make(self, idx):
-        n = idx.shape[0]
-        pad = self.bsz - n
-        ids = self.ds.ids[idx]
-        values = self.ds.values[idx]
-        y = self.ds.labels[idx]
-        mask = np.ones((self.bsz,), np.float32)
-        if pad:
-            ids = np.concatenate([ids, np.zeros((pad, self.ds.nfield), np.int32)])
+    def _rows(self, idx, lo, hi):
+        """Materialize rows [lo, hi) of the padded fixed-shape batch whose
+        real rows are idx (padding rows are zeros with mask 0)."""
+        take = idx[lo:min(hi, idx.shape[0])]
+        n = take.shape[0]
+        size = hi - lo
+        ids = self.ds.ids[take]
+        values = self.ds.values[take]
+        y = self.ds.labels[take]
+        mask = np.ones((size,), np.float32)
+        if n < size:
+            pad = size - n
+            ids = np.concatenate(
+                [ids, np.zeros((pad, self.ds.nfield), np.int32)])
             values = np.concatenate(
                 [values, np.zeros((pad, self.ds.nfield), np.float32)])
             y = np.concatenate([y, np.zeros((pad,), np.float32)])
             mask[n:] = 0.0
-        batch = {"id": ids, "value": values, "y": y, "mask": mask}
+        return {"id": ids, "value": values, "y": y, "mask": mask}
+
+    def _make(self, idx):
+        import jax
+
+        if self.device_put and self.sharding is not None:
+            # Multi-host-correct assembly (SURVEY.md §3.5 streaming sharded
+            # host loader): each process materializes ONLY the batch rows
+            # its addressable devices own and assembles the global array
+            # with make_array_from_process_local_data — a plain device_put
+            # of the global batch would need every row on every host (and
+            # is invalid for non-addressable shards). Single-process meshes
+            # take the same path (local slice == whole batch), so every
+            # mesh test exercises it.
+            lo, hi = _process_local_rows(self.bsz)
+            local = self._rows(idx, lo, hi)
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self.sharding[k], v)
+                for k, v in local.items()}
+        batch = self._rows(idx, 0, self.bsz)
         if self.device_put:
-            import jax
             batch = jax.device_put(batch, self.sharding)
         return batch
 

@@ -127,10 +127,22 @@ class UCIDataset:
 def uci_loader(data_dir, batch_size, valid_perc=0.0, seed=0):
     """Build (train, valid, test) BatchIterators for a UCI folder.
 
-    Parity with the reference uci_loader (data_loader.py:104-180): scaler fit
-    on train and applied to every split; valid_perc > 0 carves a validation
-    split from train (deterministic shuffle), else valid aliases train;
-    `nclass` is attached to the train loader.
+    Split semantics follow the reference uci_loader (data_loader.py:104-180):
+    valid_perc > 0 carves a validation split from train (deterministic
+    shuffle); with valid_perc == 0 the valid loader ALIASES train — exactly
+    the reference's `valid_loader = train_loader` fallback
+    (data_loader.py:169-171), so early stopping then selects on training
+    accuracy; a warning is emitted. `nclass` rides on every loader.
+
+    Two deliberate deviations from the reference, both standard practice
+    (reference quirks are bugs, not behavior worth porting):
+      * the StandardScaler is fit on TRAIN ONLY and applied to every split;
+        the reference fits an independent scaler per split — including one
+        fit on the test set (data_loader.py:118-121) — which leaks test
+        statistics and makes splits incomparable.
+      * the train iterator shuffles; the reference's `shuffle=transformer is
+        None` evaluates after the transformer is assigned, so its shuffle is
+        effectively always False (data_loader.py:122-133).
     """
     Xtr, ytr, nclass = load_uci_dataset(data_dir, train=True)
     if valid_perc > 0.0:
@@ -149,6 +161,12 @@ def uci_loader(data_dir, batch_size, valid_perc=0.0, seed=0):
         valid = BatchIterator(UCIDataset(scaler(Xva), yva), batch_size, False,
                               seed)
     else:
+        import warnings
+        warnings.warn(
+            "valid_perc=0: the validation loader aliases the TRAIN split "
+            "(reference data_loader.py:169-171 semantics) — early stopping "
+            "will select on training accuracy; pass --valid_perc to carve a "
+            "real validation split", stacklevel=2)
         valid = BatchIterator(train.ds, batch_size, False, seed)
     Xte, yte, _ = load_uci_dataset(data_dir, train=False)
     test = BatchIterator(UCIDataset(scaler(Xte), yte), batch_size, False, seed)

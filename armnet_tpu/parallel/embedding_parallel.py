@@ -33,7 +33,14 @@ from jax.sharding import PartitionSpec as P
 
 from armnet_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-__all__ = ["sharded_embedding_bag", "sharded_embedding_bag_a2a"]
+__all__ = ["sharded_embedding_bag", "sharded_embedding_bag_a2a",
+           "a2a_overflow_count"]
+
+
+def _a2a_capacity(slice_n, nshards, capacity_factor):
+    """Per-shard request-bucket size: headroom over the uniform-hash
+    expectation. Must match between the lookup and the overflow counter."""
+    return max(int(capacity_factor * slice_n / nshards), 8)
 
 
 def _local_gather(table_shard, ids, rows_per_shard, axis_name):
@@ -94,7 +101,7 @@ def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
         my = jax.lax.dynamic_slice_in_dim(flat, m * slice_n, slice_n)
 
         # Bucket my requests by owning shard into [M, capacity].
-        cap = max(int(capacity_factor * slice_n / nshards), 8)
+        cap = _a2a_capacity(slice_n, nshards, capacity_factor)
         req_real = (m * slice_n + jnp.arange(slice_n)) < n   # not tail padding
         owner = jnp.clip(my // rows_per_shard, 0, nshards - 1)
         # route padding to a virtual owner so it never consumes capacity
@@ -135,3 +142,38 @@ def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
         return emb * values_local[..., None]
 
     return lookup(table, ids, values)
+
+
+def a2a_overflow_count(ids, nfeat, mesh, *, data_axis=DATA_AXIS,
+                       model_axis=MODEL_AXIS, capacity_factor=2.0):
+    """Number of requests the a2a exchange DROPS this batch (bucket
+    overflow -> zero embedding rows). Skewed real-id distributions (CTR ids
+    are power-law) can overflow the uniform-hash capacity; this counter is
+    cheap (ids only, a histogram per shard slice — no sort, no table access)
+    and is folded into the training meters so silent accuracy loss is
+    visible. Exactly equals the lookup's drop count: a request is dropped
+    iff its within-bucket position >= cap, i.e. max(bucket_count - cap, 0)
+    summed over buckets."""
+    nshards = mesh.shape[model_axis]
+    rows_per_shard = nfeat // nshards
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(data_axis, None),
+             out_specs=P(), check_vma=False)
+    def count(ids_local):
+        b, f = ids_local.shape
+        n = b * f
+        m = jax.lax.axis_index(model_axis)
+        slice_n = -(-n // nshards)
+        pad_n = slice_n * nshards
+        flat = jnp.pad(ids_local.reshape(-1), (0, pad_n - n))
+        my = jax.lax.dynamic_slice_in_dim(flat, m * slice_n, slice_n)
+        cap = _a2a_capacity(slice_n, nshards, capacity_factor)
+        req_real = (m * slice_n + jnp.arange(slice_n)) < n
+        owner = jnp.clip(my // rows_per_shard, 0, nshards - 1)
+        hist = jnp.sum(
+            jax.nn.one_hot(owner, nshards, dtype=jnp.int32)
+            * req_real[:, None].astype(jnp.int32), axis=0)
+        dropped = jnp.sum(jnp.maximum(hist - cap, 0)).astype(jnp.float32)
+        return jax.lax.psum(dropped, (data_axis, model_axis))
+
+    return count(ids)

@@ -29,25 +29,45 @@ def table_spec(mesh, ndim=2):
     return P()
 
 
-def leaf_spec(leaf, nfeat, mesh, shard_embedding):
-    """PartitionSpec for one state leaf."""
+def leaf_spec(leaf, nfeat, mesh, shard_embedding, name=None):
+    """PartitionSpec for one state leaf.
+
+    2-D tables are identified by shape (leading dim == nfeat). 1-D leaves
+    are flat-stored tables ONLY when the parameter is named 'embedding'
+    (ops/layers.py Embedding) — a pure size heuristic (size % nfeat == 0)
+    can capture MLP biases when nfeat is small (UCI: nfeat ~ 10), sharding
+    them over the model axis unintentionally. When no path name is
+    available (name=None) the size heuristic is kept as a fallback."""
     if shard_embedding and hasattr(leaf, "ndim"):
         if leaf.ndim == 2 and leaf.shape[0] == nfeat:
             return table_spec(mesh, 2)
-        if (leaf.ndim == 1 and leaf.shape[0] >= nfeat
-                and leaf.shape[0] % nfeat == 0):
-            return table_spec(mesh, 1)       # flat-stored table
+        if leaf.ndim == 1 and leaf.shape[0] >= nfeat \
+                and leaf.shape[0] % nfeat == 0:
+            if name == "embedding" or name is None:
+                return table_spec(mesh, 1)   # flat-stored table
     return P()
 
 
+def _leaf_name(path):
+    """Last string-ish key of a tree path (param name for flax trees)."""
+    for entry in reversed(path):
+        key = getattr(entry, "key", getattr(entry, "name", None))
+        if isinstance(key, str):
+            return key
+    return None
+
+
 def state_shardings(state, mesh, nfeat, shard_embedding=False):
-    """NamedSharding tree matching the TrainState pytree."""
+    """NamedSharding tree matching the TrainState pytree. Table leaves are
+    matched by parameter path name + shape (Adam's mu/nu mirror the param
+    tree, so the same rule covers the optimizer state)."""
 
-    def to_sharding(leaf):
+    def to_sharding(path, leaf):
         return NamedSharding(
-            mesh, leaf_spec(leaf, nfeat, mesh, shard_embedding))
+            mesh, leaf_spec(leaf, nfeat, mesh, shard_embedding,
+                            name=_leaf_name(path)))
 
-    return jax.tree.map(to_sharding, state)
+    return jax.tree_util.tree_map_with_path(to_sharding, state)
 
 
 def batch_sharding(mesh):

@@ -30,33 +30,50 @@ def _state_pytree(state):
             "opt_state": state.opt_state, "step": state.step}
 
 
+def _barrier(name):
+    """Cross-process sync so filesystem mutations (rmtree before a save)
+    are ordered; no-op on one process."""
+    if jax.process_count() > 1:  # pragma: no cover - needs a real pod
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
 def save_checkpoint(ckpt_dir, state, extra=None, tag="last", is_best=False):
-    """Persist the train-state arrays + a JSON metadata sidecar."""
+    """Persist the train-state arrays + a JSON metadata sidecar.
+
+    Sharded/multi-host aware: the live (possibly device-sharded) arrays go
+    straight to Orbax, which writes each shard from its owning process — a
+    jax.device_get here would fail on non-addressable shards and funnel the
+    whole state through one host."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     path = os.path.join(ckpt_dir, tag)
-    payload = jax.device_get(_state_pytree(state))
+    primary = jax.process_index() == 0
     ocp = _orbax()
     if ocp is not None:
         ckptr = ocp.StandardCheckpointer()
-        if os.path.exists(path):
+        if primary and os.path.exists(path):
             shutil.rmtree(path)
-        ckptr.save(path, payload)
+        _barrier(f"ckpt_clear_{tag}")
+        ckptr.save(path, _state_pytree(state))
         ckptr.wait_until_finished()
     else:  # pragma: no cover
         from flax import serialization
+        payload = jax.device_get(_state_pytree(state))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(payload))
-    with open(os.path.join(ckpt_dir, f"{tag}.meta.json"), "w") as f:
-        json.dump(extra or {}, f)
+    if primary:
+        with open(os.path.join(ckpt_dir, f"{tag}.meta.json"), "w") as f:
+            json.dump(extra or {}, f)
 
-    if is_best and tag != "best":
-        best = os.path.join(ckpt_dir, "best")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
-        shutil.copyfile(os.path.join(ckpt_dir, f"{tag}.meta.json"),
-                        os.path.join(ckpt_dir, "best.meta.json"))
+        if is_best and tag != "best":
+            best = os.path.join(ckpt_dir, "best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+            shutil.copyfile(os.path.join(ckpt_dir, f"{tag}.meta.json"),
+                            os.path.join(ckpt_dir, "best.meta.json"))
+    _barrier(f"ckpt_done_{tag}")
     return path
 
 
@@ -64,13 +81,15 @@ def load_checkpoint(ckpt_dir, state, tag="last"):
     """Restore into an existing TrainState template; returns (state, extra)."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     path = os.path.join(ckpt_dir, tag)
-    template = jax.device_get(_state_pytree(state))
     ocp = _orbax()
     if ocp is not None:
+        # live template: restoring against the sharded state rebuilds each
+        # array with its original sharding on its owning processes
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, target=template)
+        restored = ckptr.restore(path, target=_state_pytree(state))
     else:  # pragma: no cover
         from flax import serialization
+        template = jax.device_get(_state_pytree(state))
         with open(os.path.join(path, "state.msgpack"), "rb") as f:
             restored = serialization.from_bytes(template, f.read())
     meta_path = os.path.join(ckpt_dir, f"{tag}.meta.json")

@@ -62,6 +62,9 @@ def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
                 f"({fetched['auc_sum'] / w:4f}) "
                 f"Loss {fetched['loss_last']:8.4f} ({fetched['loss_sum'] / w:8.4f})")
             timestamp = time.time()
+        # truncation parity with the reference (train.py:132): break AFTER
+        # processing the batch at 0-based index eval_freq, i.e. exactly
+        # eval_freq + 1 batches per split per epoch
         if batch_idx >= eval_freq:
             break
 
@@ -71,6 +74,12 @@ def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
     logger.info(f"{namespace}\tTime {time_since(s=time_avg.sum):>12s} "
                 f"{metric_name} {mean_auc:8.4f} "
                 f"Loss {fetched['loss_sum'] / w:8.4f}")
+    if fetched.get("overflow_sum", 0.0) > 0:
+        logger.warning(
+            f"{namespace}\ta2a embedding exchange dropped "
+            f"{fetched['overflow_sum']:.0f} requests to zero rows this epoch "
+            f"(capacity overflow) — raise --embedding_capacity_factor or "
+            f"switch --embedding_exchange psum")
     return state, float(mean_auc)
 
 
@@ -85,6 +94,10 @@ class Trainer:
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.profile_dir = getattr(config, "profile_dir", None)
+        self.overflow_fn = None
+        if getattr(config, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+            logger.info("jax_debug_nans enabled")
 
         # device mesh: explicit arg > config spec > single-device (no mesh)
         mesh_spec = getattr(config, "mesh", "")
@@ -123,8 +136,15 @@ class Trainer:
                 loader.sharding = batch_sh
             if shard_emb:
                 impl = getattr(config, "embedding_exchange", "psum")
+                cap = float(getattr(config, "embedding_capacity_factor", 2.0))
                 lookup_cm = functools.partial(sharded_lookup_context, mesh,
-                                              impl)
+                                              impl, capacity_factor=cap)
+                if impl == "a2a":
+                    from armnet_tpu.parallel.embedding_parallel import (
+                        a2a_overflow_count)
+                    self.overflow_fn = functools.partial(
+                        a2a_overflow_count, nfeat=config.nfeat, mesh=mesh,
+                        capacity_factor=cap)
             logger.info(f"mesh {dict(mesh.shape)} | sharded embedding: "
                         f"{shard_emb}")
 
@@ -134,7 +154,8 @@ class Trainer:
                      else "binary")
         _, _, self.metric_name = task_fns(self.task)
         self.train_step = make_train_step(shardings=shardings,
-                                          lookup_cm=lookup_cm, task=self.task)
+                                          lookup_cm=lookup_cm, task=self.task,
+                                          overflow_fn=self.overflow_fn)
         self.eval_step = make_eval_step(shardings=shardings,
                                         lookup_cm=lookup_cm, task=self.task)
         self.rng = jax.random.key(seed + 7)

@@ -64,18 +64,22 @@ def init_meters():
 
     z = jnp.zeros((), jnp.float32)
     return {"loss_sum": z, "auc_sum": z, "weight": z,
-            "loss_last": z, "auc_last": z}
+            "loss_last": z, "auc_last": z, "overflow_sum": z}
 
 
-def _update_meters(meters, loss, auc, n):
-    return {"loss_sum": meters["loss_sum"] + loss * n,
-            "auc_sum": meters["auc_sum"] + auc * n,
-            "weight": meters["weight"] + n,
-            "loss_last": loss, "auc_last": auc}
+def _update_meters(meters, loss, auc, n, overflow=None):
+    new = {"loss_sum": meters["loss_sum"] + loss * n,
+           "auc_sum": meters["auc_sum"] + auc * n,
+           "weight": meters["weight"] + n,
+           "loss_last": loss, "auc_last": auc,
+           "overflow_sum": meters["overflow_sum"]}
+    if overflow is not None:
+        new["overflow_sum"] = meters["overflow_sum"] + overflow
+    return new
 
 
 def make_train_step(donate=False, shardings=None, lookup_cm=None,
-                    task="binary"):
+                    task="binary", overflow_fn=None):
     """Build the jitted training step: fwd -> BCE -> bwd -> clip -> Adam,
     plus on-device AUC on the pre-update logits (reference run() parity).
     Metrics fold into device-side meters; nothing blocks the dispatch queue.
@@ -84,7 +88,9 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None,
     when given, the step is pjit-compiled over the mesh (DP gradients psum'd
     by XLA; row-sharded tables handled by the lookup context).
     lookup_cm: optional zero-arg contextmanager entered around every call so
-    the sharded-embedding dispatch is active at trace time."""
+    the sharded-embedding dispatch is active at trace time.
+    overflow_fn: optional ids -> scalar counting a2a capacity-overflow drops
+    this batch (folded into the overflow meter; see embedding_parallel)."""
     loss_metric, quality_metric, _ = task_fns(task)
 
     def train_step(state, meters, batch, rng):
@@ -104,7 +110,9 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None,
         state = state.apply_gradients(
             grads=grads, batch_stats=updates["batch_stats"])
         auc = quality_metric(logits, batch["y"], batch["mask"])
-        meters = _update_meters(meters, loss, auc, batch["mask"].sum())
+        overflow = overflow_fn(batch["id"]) if overflow_fn else None
+        meters = _update_meters(meters, loss, auc, batch["mask"].sum(),
+                                overflow)
         return state, meters
 
     # donation is off by default: the axon-tunneled TPU backend rejects

@@ -39,7 +39,10 @@ class ExperimentConfig(ModelConfig):
     kernels: str = "auto"               # auto|xla|pallas compute-path selection
     mesh: str = ""                      # e.g. "data:8" or "data:4,model:2"
     shard_embedding: bool = False       # row-shard tables over the model axis
+    embedding_exchange: str = "psum"    # psum|a2a row-exchange strategy
+    embedding_capacity_factor: float = 2.0  # a2a per-shard bucket headroom
     profile_dir: Optional[str] = None   # jax.profiler trace output
+    debug_nans: bool = False            # jax_debug_nans: fail fast on NaN/Inf
 
 
 def build_arg_parser():
@@ -118,7 +121,19 @@ def build_arg_parser():
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help="device mesh spec, e.g. 'data:8' or 'data:4,model:2'")
     p.add_argument("--shard_embedding", action="store_true", default=False)
+    p.add_argument("--embedding_exchange", type=str,
+                   default=d.embedding_exchange, choices=["psum", "a2a"],
+                   help="row-sharded table exchange: psum all-reduces partial "
+                        "rows; a2a is the DLRM-style request/response "
+                        "(~half the volume, needs capacity headroom)")
+    p.add_argument("--embedding_capacity_factor", type=float,
+                   default=d.embedding_capacity_factor,
+                   help="a2a per-shard bucket size multiplier over the "
+                        "uniform-hash expectation; overflowing requests drop "
+                        "to zero rows and are counted in the overflow meter")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--debug_nans", action="store_true", default=False,
+                   help="enable jax_debug_nans (fail fast on NaN/Inf)")
     return p
 
 

@@ -90,3 +90,35 @@ def test_make_dataloaders_glob_convention(tmp_path):
     assert len(tr) == len(va) == len(te) == 1
     with pytest.raises(FileNotFoundError):
         make_dataloaders("nope", str(tmp_path), nfield=2, batch_size=2)
+
+
+def test_process_local_rows_split():
+    from armnet_tpu.data.libsvm import _process_local_rows
+
+    # single process: the local slice is the whole batch
+    lo, hi = _process_local_rows(64)
+    assert (lo, hi) == (0, 64)
+
+
+def test_batch_iterator_multihost_assembly_path(tmp_path):
+    """Under a mesh sharding the iterator assembles batches with
+    make_array_from_process_local_data (the multi-host path; one process
+    here, so local slice == global batch) — values must match device_put."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from armnet_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path / "tr.libsvm"
+    p.write_text("\n".join(f"{i % 2} {i % 7}:1 {(10 + i) % 13}:0.5"
+                           for i in range(10)) + "\n")
+    ds = LibsvmDataset(str(p), 2, use_cache=False)
+    mesh = make_mesh("data:8")
+    sh = {k: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+          for k, nd in [("id", 2), ("value", 2), ("y", 1), ("mask", 1)]}
+    it = BatchIterator(ds, batch_size=8, shuffle=False, sharding=sh)
+    plain = BatchIterator(ds, batch_size=8, shuffle=False, device_put=False)
+    for got, want in zip(it, plain):
+        for k in want:
+            assert got[k].sharding.is_equivalent_to(sh[k], got[k].ndim)
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k])

@@ -119,3 +119,53 @@ def test_state_sharding_rules():
     assert sh["mu"]["embedding"].spec == P("model", None)   # opt state mirrors
     assert sh["params"]["mlp"]["kernel"].spec == P()
     assert leaf_spec(jnp.zeros((nfeat, 16)), nfeat, mesh, False) == P()
+
+
+def test_a2a_overflow_counter_matches_actual_drops():
+    """Power-law ids at the default capacity_factor=2.0: the counter must
+    equal the number of requests the a2a lookup zeroed (VERDICT r1: skewed
+    real ids silently lose accuracy without this)."""
+    from armnet_tpu.parallel.embedding_parallel import a2a_overflow_count
+
+    mesh = make_mesh("data:2,model:4")
+    nfeat, nemb, b, f = 64, 16, 32, 5
+    rng = np.random.RandomState(5)
+    table = jnp.asarray(rng.randn(nfeat, nemb).astype(np.float32))
+    # zipf-ish skew concentrated on shard 0's rows
+    raw = rng.zipf(1.5, size=(b, f))
+    ids = jnp.asarray(np.minimum(raw - 1, nfeat - 1), jnp.int32)
+    values = jnp.ones((b, f), jnp.float32)
+
+    got = sharded_embedding_bag_a2a(table, ids, values, mesh,
+                                    capacity_factor=2.0)
+    want = embedding_bag(table, ids, values)
+    # a dropped request returns a zero row where the dense path doesn't
+    dense_nonzero = np.abs(np.asarray(want)).sum(-1) > 1e-12
+    got_zero = np.abs(np.asarray(got)).sum(-1) < 1e-12
+    actual_drops = int(np.sum(dense_nonzero & got_zero))
+
+    counted = float(a2a_overflow_count(ids, nfeat, mesh,
+                                       capacity_factor=2.0))
+    assert counted == actual_drops
+    assert counted > 0, "test should exercise real overflow at cap 2.0"
+
+    # and generous capacity drops nothing
+    assert float(a2a_overflow_count(ids, nfeat, mesh,
+                                    capacity_factor=16.0)) == 0
+
+
+def test_flat_table_sharding_matches_by_name_not_size():
+    """1-D leaves shard only when the param path names an embedding —
+    an MLP bias whose size happens to be a multiple of nfeat must stay
+    replicated (ADVICE r1)."""
+    mesh = make_mesh("data:4,model:2")
+    nfeat, nemb = 10, 10
+    fake_state = {
+        "params": {"emb": {"embedding": jnp.zeros((nfeat * nemb,))},
+                   "mlp": {"bias": jnp.zeros((nfeat * nemb,)),   # 100 units
+                           "kernel": jnp.zeros((64, 100))}},
+    }
+    sh = state_shardings(fake_state, mesh, nfeat, shard_embedding=True)
+    assert sh["params"]["emb"]["embedding"].spec == P("model")
+    assert sh["params"]["mlp"]["bias"].spec == P()
+    assert sh["params"]["mlp"]["kernel"].spec == P()

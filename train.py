@@ -41,7 +41,10 @@ def main():
         from armnet_tpu.data import uci_loader
         train_loader, val_loader, test_loader = uci_loader(
             base, args.batch_size, valid_perc=args.valid_perc, seed=args.seed)
-        if train_loader.nclass > 2 and args.noutput <= 1:
+        # every UCI dataset (including binary, nclass == 2) routes to the
+        # softmax-CE + accuracy head — reference parity: its UCI pipeline
+        # never uses the BCE/AUC CTR path (data_loader.py:104-180)
+        if train_loader.nclass >= 2 and args.noutput <= 1:
             args.noutput = train_loader.nclass
         args.nfield = train_loader.ds.nfield
         args.nfeat = max(args.nfeat, train_loader.ds.nfield)
@@ -77,10 +80,21 @@ def main():
 
     if len(results) > 1:
         import numpy as np
+        valids = np.array([r[1] for r in results])
         tests = np.array([r[2] for r in results])
-        print(f"repeat summary over seeds "
-              f"[{args.seed}, {args.seed + args.repeat}): "
-              f"test auc mean {tests.mean():.4f} std {tests.std():.4f}")
+        summary = (f"repeat summary over seeds "
+                   f"[{args.seed}, {args.seed + args.repeat}): "
+                   f"valid mean {valids.mean():.4f} std {valids.std():.4f} | "
+                   f"test mean {tests.mean():.4f} std {tests.std():.4f}")
+        print(summary)
+        # the reference reports mean/std tables (README.md:92-97); persist
+        # the summary next to the per-seed logs, not just on stdout
+        with open(os.path.join(args.log_dir,
+                               f"{base_exp_name}.repeat_summary.log"),
+                  "a") as f:
+            for seed, bv, bt in results:
+                f.write(f"seed {seed}: valid {bv:.4f} test {bt:.4f}\n")
+            f.write(summary + "\n")
     return results
 
 
