@@ -54,6 +54,12 @@ def table_grad_reference(g, flat_ids, nrows):
 
 
 def _kernel(starts_ref, payload_hbm, out_ref, pay_scr, sems, *, n, e):
+    # NOTE (r2): a static double-buffered variant of this loop (prefetch
+    # chunk j+2 while j computes, even/odd buffers, balanced semaphores)
+    # was built and measured SLOWER in the full train step (16.6 ms vs
+    # 13.9) — the pair-loop's dummy-chunk padding and the extra live DMA
+    # cost more than the latency they hide; Mosaic already overlaps the
+    # serial start/wait stream well enough. Keeping the simple form.
     b = pl.program_id(0)
     start = starts_ref[b]
     end = starts_ref[b + 1]
@@ -139,7 +145,7 @@ def _table_grad_tpu(g, flat_ids, nrows, interpret=False):
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # sorted payload (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # sorted payload (HBM)
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -271,7 +277,7 @@ def _table_grad_tpu_v2(g, flat_ids, nrows, interpret=False):
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # payload (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # payload (HBM)
         ],
         out_specs=pl.BlockSpec((128, k * e), lambda i, starts: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -292,10 +298,234 @@ def _table_grad_tpu_v2(g, flat_ids, nrows, interpret=False):
     return out.reshape(-1)[:nrows * e]
 
 
+# ---------------------------------------------------------------------------
+# v3: the production flat-layout densify — v2's digit-factorized exact-tiled
+# output with the dot in the fast A·B orientation and a row-major payload.
+#
+# What each predecessor got wrong, fixed here:
+#   * v1 writes a [nrows, e] block output: XLA tiles it T(8,128), so at e=10
+#     every write (and the downstream reshape to the flat optimizer layout)
+#     moves 12.8x the logical bytes — ~2.5 ms/step of pure layout tax.
+#   * v2's exact-tiled output needed out[group, slot*e+c]; it built the
+#     one-hot with the window axis on SUBLANES of both dot operands (A^T B),
+#     the one contraction form Mosaic lowers ~5x slow.
+#   * v1's payload travels transposed [16, N]; the host-side [N,e] -> [e,N]
+#     relayout costs ~1 ms at the Criteo shape.
+#
+# v3 keeps the window axis on the LANES of the one-hot lhs (ids ride a
+# separate lane-major [8, N] int32 row so no in-kernel transpose is needed)
+# and on the SUBLANES of the rhs (row-major payload window) — the native
+# "A·B" MXU form. The rhs encodes the slot digit by placing each update's
+# gradient row in its slot's lane range (pltpu.repeat + mask); hi|residual
+# bf16 halves stack on the lane axis so ONE dot does both MXU passes. The
+# payload itself is bf16 (hi | lo | slot columns): the MXU's DEFAULT f32
+# path rounds operands to bf16 anyway, so splitting on the host is
+# numerically identical and halves payload HBM traffic.
+#
+# Output block [128 groups, k*e lanes] with k = 128/gcd(e,128): k*e is a
+# 128-multiple, so the block is exactly tiled — reshape(-1) of the result IS
+# the row-major flat gradient, with zero padding anywhere.
+# ---------------------------------------------------------------------------
+
+CHUNK3 = int(os.environ.get("ARMNET_SCATTER_CHUNK3", 256))
+ALIGN3 = 128                  # lane-window alignment for the id-row DMA
+WIN3 = CHUNK3 + ALIGN3
+MAX_KE3 = 2048                # rhs lane width cap (VMEM): k*e above this -> v1
+
+
+def _kernel_v3(starts_ref, payload_hbm, idrow_hbm, out_ref, pay0, pay1,
+               id0, id1, sems, *, n, e, k):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
+    nchunks = (end - start + CHUNK3 - 1) // CHUNK3
+    base = b * (128 * k)
+    logk = max(k.bit_length() - 1, 0)     # k is a power of two
+    ke = k * e
+    group_sub = lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    slot_lane = (lax.broadcasted_iota(jnp.int32, (1, ke), 1) // e).astype(
+        jnp.float32)
+    bufs = ((pay0, id0, 0), (pay1, id1, 1))
+
+    def aligned_off(j):
+        off = start + j * CHUNK3
+        # clamp so the window fits in [0, n), then 128-align the offset (the
+        # id-row DMA slices the lane axis); n is padded to a 128-multiple
+        off_c = jnp.minimum(jnp.maximum(off, 0), n - WIN3)
+        return off, pl.multiple_of(off_c - lax.rem(off_c, ALIGN3), ALIGN3)
+
+    def copies(j, buf):
+        pay, ids, s = buf
+        _, off_a = aligned_off(j)
+        return (pltpu.make_async_copy(payload_hbm.at[pl.ds(off_a, WIN3), :],
+                                      pay, sems.at[s, 0]),
+                pltpu.make_async_copy(idrow_hbm.at[:, pl.ds(off_a, WIN3)],
+                                      ids, sems.at[s, 1]))
+
+    # Double-buffered window DMAs with STATIC buffer assignment (even chunks
+    # -> buffer 0, odd -> buffer 1): chunk j+2 streams in while j computes.
+    # The chunk loop runs a PAIR per iteration over an even-rounded count;
+    # out-of-range chunk indices clamp to a legal window and mask to a
+    # no-op, so every started DMA is waited (semaphores stay balanced
+    # across grid steps). ~900 serial DMAs per call would otherwise expose
+    # their latency end to end. ARMNET_SCATTER_DB=0 falls back to serial
+    # start+wait per chunk (debug bisect).
+    db = os.environ.get("ARMNET_SCATTER_DB", "1") == "1"
+    nit = 2 * ((nchunks + 1) // 2)
+
+    if db:
+        @pl.when(nit > 0)
+        def _():
+            for cp in copies(0, bufs[0]):
+                cp.start()
+
+        @pl.when(nit > 1)
+        def _():
+            for cp in copies(1, bufs[1]):
+                cp.start()
+
+    def compute(j, buf, acc):
+        pay, ids, _ = buf
+        if not db:
+            for cp in copies(j, buf):
+                cp.start()
+        for cp in copies(j, buf):
+            cp.wait()
+
+        # load this chunk's window out of the buffer BEFORE starting the
+        # j+2 prefetch into the same buffer (the prefetch write must not
+        # overtake these reads)
+        local = ids[0:1, :] - base                          # [1, WIN3]
+        g_hi = pay[:, :e].astype(jnp.float32)
+        g_lo = pay[:, e:2 * e].astype(jnp.float32)
+        slot_col = pay[:, 2 * e:2 * e + 1].astype(jnp.float32)
+
+        if db:
+            @pl.when(j + 2 < nit)
+            def _():
+                for cp in copies(j + 2, buf):
+                    cp.start()
+
+        # lhs [128, WIN3]: group one-hot, window on LANES. Only this chunk's
+        # own range [off, min(off+CHUNK3, end)) is valid — the alignment
+        # shift, the end-of-array clamp and the padded pair-chunk all re-read
+        # handled positions, masked off here.
+        off, off_a = aligned_off(j)
+        pos = off_a + lax.broadcasted_iota(jnp.int32, (1, WIN3), 1)
+        valid = (pos >= off) & (pos < jnp.minimum(off + CHUNK3, end))
+        grp = lax.shift_right_arithmetic(local, jnp.int32(logk))
+        # mask/select arithmetic stays f32: Mosaic lowers neither bf16
+        # compares (packed cmpf -> i1) nor i1 relayouts into bf16 selects;
+        # the bf16 payload is upcast per window (cheap — VMEM resident)
+        lhs = jnp.where((grp == group_sub) & valid, 1.0, 0.0)  # [128, WIN3]
+
+        # rhs [WIN3, 2*k*e]: each update's gradient row placed in its slot's
+        # lane range; hi | residual halves side by side (one dot, two terms).
+        # Invalid window rows may land anywhere — lhs zeroes them in the dot.
+        m = slot_col == slot_lane                           # [WIN3, ke]
+        rhs = jnp.concatenate(
+            [jnp.where(m, pltpu.repeat(g_hi, k, 1), 0.0),
+             jnp.where(m, pltpu.repeat(g_lo, k, 1), 0.0)],
+            axis=1)                                         # [WIN3, 2ke]
+
+        dn = (((1,), (0,)), ((), ()))                       # A·B form
+        out2 = jax.lax.dot_general(lhs, rhs, dn,
+                                   preferred_element_type=jnp.float32)
+        return acc + out2[:, :ke] + out2[:, ke:]
+
+    def pair(p, acc):
+        acc = compute(2 * p, bufs[0], acc)
+        return compute(2 * p + 1, bufs[1], acc)
+
+    acc = lax.fori_loop(0, nit // 2, pair,
+                        jnp.zeros((128, ke), jnp.float32))
+    out_ref[:] = acc
+
+
+def _table_grad_tpu_v3(g, flat_ids, nrows, interpret=False):
+    """Flat-layout densify: returns the row-major [nrows*e] gradient."""
+    import math
+
+    n, e = g.shape
+    k = 128 // math.gcd(e, 128)
+    bucket = 128 * k
+    assert k * e <= MAX_KE3 and 2 * e + 1 <= 128
+
+    order = jnp.argsort(flat_ids)
+    sid = flat_ids[order].astype(jnp.int32)
+
+    nb = -(-nrows // bucket)
+    starts = jnp.searchsorted(
+        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * bucket).astype(sid.dtype)
+    ).astype(jnp.int32)
+
+    # row-major bf16 payload [N_pad, 128]: hi | residual | slot digit | zero
+    # pad to a full lane tile (Mosaic rejects narrow-minor-dim DMA slices).
+    # slot = id mod k < 128 is bf16-exact; the group digit needs full id
+    # range, so it rides a separate lane-major int32 row (idrow) for the lhs.
+    # Built BEFORE the sort gather so the reorder moves half the bytes
+    # (one bf16 gather instead of an f32 gather + a second build pass).
+    # reduce_precision, not a bf16 round-trip cast: under
+    # --xla_allow_excess_precision XLA may elide the downcast inside a
+    # fused chain, silently zeroing the residual column (measured 2e-2
+    # error on TPU); reduce_precision's rounding is semantically required.
+    gf = g.astype(jnp.float32)
+    hi = lax.reduce_precision(gf, 8, 7)         # bf16-valued, f32 dtype
+    lo = (gf - hi).astype(jnp.bfloat16)
+    hi = hi.astype(jnp.bfloat16)                # exact: already bf16-valued
+    slot = jnp.bitwise_and(flat_ids.astype(jnp.int32), k - 1
+                           ).astype(jnp.bfloat16)
+    payload = jnp.concatenate(
+        [hi, lo, slot[:, None],
+         jnp.zeros((n, 128 - 2 * e - 1), jnp.bfloat16)], axis=1)[order]
+    np_ = max(WIN3, -(-n // ALIGN3) * ALIGN3)
+    if np_ != n:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((np_ - n, 128), jnp.bfloat16)], axis=0)
+    # padded ids -1: negative group never matches; valid mask excludes anyway
+    idrow = jnp.broadcast_to(
+        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
+        (8, np_))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # payload (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # id row (HBM)
+        ],
+        out_specs=pl.BlockSpec((128, k * e), lambda i, starts: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((WIN3, 128), jnp.bfloat16),      # double buffer 0
+            pltpu.VMEM((WIN3, 128), jnp.bfloat16),      # double buffer 1
+            pltpu.VMEM((8, WIN3), jnp.int32),
+            pltpu.VMEM((8, WIN3), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    # exact-tiled output: [row groups, k*e]; the ragged last group (when
+    # nrows % k != 0) is masked by Pallas and sliced off after the flatten
+    ng = -(-nrows // k)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3, n=np_, e=e, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, k * e), jnp.float32),
+        interpret=interpret,
+    )(starts, payload, idrow)
+    return out.reshape(-1)[:nrows * e]
+
+
 def table_grad(g, flat_ids, nrows):
     """Scatter-add g [N,E] into a zero [nrows,E] table at flat_ids [N],
-    duplicate-safe. Dispatches to the bucketed densify kernel on TPU."""
-    if jax.default_backend() == "tpu" and nrows < 2 ** 24:
+    duplicate-safe. Dispatches to the bucketed densify kernel on TPU.
+
+    ARMNET_SCATTER=xla forces the exact-f32 XLA scatter everywhere — the
+    debugging escape hatch for parity regressions (the kernel's bf16
+    hi|residual MXU split carries ~1e-5 relative error; XLA's scatter is
+    exact but serializes row-at-a-time on TPU, 16+ ms at Criteo scale)."""
+    if (jax.default_backend() == "tpu" and nrows < 2 ** 24
+            and os.environ.get("ARMNET_SCATTER") != "xla"):
         return _table_grad_tpu(g, flat_ids, nrows)
     return table_grad_reference(g, flat_ids, nrows)
 
@@ -304,15 +534,24 @@ def table_grad_flat(g, flat_ids, nrows):
     """Like table_grad but returns the row-major FLAT [nrows*E] gradient —
     the layout of flat-stored tables (ops/embedding.py).
 
-    Dispatch note: the v2 grouped kernel (exact-tiled output, no padded
-    [nrows, E] intermediate) is numerically verified on TPU (4.8e-6 rel)
-    but measured 7.7 ms vs v1's 4.2 ms at the Criteo shape — its A^T B dot
-    contracts over the sublane axis, which Mosaic lowers ~5x slower than a
-    major-axis contraction (same pathology recorded in BENCH_NOTES.md), and
-    that swamps the layout savings. v1 + XLA reshape stays the default;
-    set ARMNET_SCATTER_V2=1 to flip (for future Mosaic versions)."""
-    if jax.default_backend() == "tpu" and nrows < 2 ** 24:
-        if os.environ.get("ARMNET_SCATTER_V2") == "1" and g.shape[1] <= 120:
+    Dispatch: v1 (+XLA reshape to flat) is the production default, by
+    measurement. ARMNET_SCATTER={v1,v2,v3,xla} overrides: v2/v3 are the
+    digit-factorized exact-tiled-output kernels kept as testbeds — v3
+    fixed v2's slow A^T B dot orientation and drops the host transpose,
+    but its slot-expansion rhs build ([WIN, 2*k*e] mask+repeat per chunk)
+    is VPU-bound and nets out SLOWER in the full train step (15.7 ms vs
+    13.9, r2 measurements in BENCH_NOTES.md); xla is the exact-f32
+    scatter escape hatch for numerics debugging."""
+    import math
+
+    if (jax.default_backend() == "tpu" and nrows < 2 ** 24
+            and os.environ.get("ARMNET_SCATTER") != "xla"):
+        e = g.shape[1]
+        which = os.environ.get("ARMNET_SCATTER", "v1")
+        if which == "v2" and e <= 120:
             return _table_grad_tpu_v2(g, flat_ids, nrows)
+        if which == "v3" and (128 // math.gcd(e, 128)) * e <= MAX_KE3 \
+                and 2 * e + 1 <= 128:
+            return _table_grad_tpu_v3(g, flat_ids, nrows)
         return _table_grad_tpu(g, flat_ids, nrows).reshape(-1)
     return table_grad_reference(g, flat_ids, nrows).reshape(-1)
