@@ -179,13 +179,21 @@ def scaled_embedding_lookup(table, ids, values, *, use_one_hot=None,
 
         mesh = cfg["mesh"]
         nshards = mesh.shape.get(MODEL_AXIS, 1)
-        if nshards > 1 and nrows % nshards == 0:
-            t2 = table.reshape(nrows, -1) if flat else table
-            if cfg["impl"] == "a2a":
-                return sharded_embedding_bag_a2a(
-                    t2, ids, values, mesh,
-                    capacity_factor=cfg["capacity_factor"])
-            return sharded_embedding_bag(t2, ids, values, mesh)
+        if nshards > 1:
+            if nrows % nshards == 0:
+                t2 = table.reshape(nrows, -1) if flat else table
+                if cfg["impl"] == "a2a":
+                    return sharded_embedding_bag_a2a(
+                        t2, ids, values, mesh,
+                        capacity_factor=cfg["capacity_factor"])
+                return sharded_embedding_bag(t2, ids, values, mesh)
+            # visible, not silent: this table stays replicated (trace-time
+            # warning — fires once per compilation, not per step)
+            import warnings
+            warnings.warn(
+                f"sharded lookup requested but table rows ({nrows}) do not "
+                f"divide the model axis ({nshards}); this table falls back "
+                f"to the replicated (unsharded) lookup", stacklevel=3)
     if use_one_hot is None:
         use_one_hot = nrows <= ONE_HOT_MAX_ROWS
     if use_one_hot:
