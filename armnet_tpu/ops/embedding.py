@@ -146,13 +146,15 @@ def _bag_flat_bwd(nemb, res, dout):
     g = (dout * values[..., None].astype(dout.dtype)).reshape(-1, nemb)
     from armnet_tpu.kernels.scatter_pallas import table_grad_flat
 
-    # the kernel emits the flat [R*E] layout directly — no padded [R, E]
-    # intermediate exists for XLA to sink optimizer work into (the earlier
-    # reshape+optimization_barrier pinning is moot, but the barrier stays as
-    # a belt: without it XLA once re-materialized the 2-D view, 4.9 ms/step)
-    dflat = jax.lax.optimization_barrier(
-        table_grad_flat(g.astype(jnp.float32), ids.reshape(-1),
-                        flat_rows // nemb).astype(tdtype))
+    # barrier: without it XLA re-materializes the padded 2-D view around
+    # the v1 kernel's reshape and sinks optimizer work into it (measured
+    # +4.9 ms/step in r1; ARMNET_NO_BARRIER=1 re-tests on newer XLA)
+    import os as _os
+
+    dflat = table_grad_flat(g.astype(jnp.float32), ids.reshape(-1),
+                            flat_rows // nemb).astype(tdtype)
+    if _os.environ.get("ARMNET_NO_BARRIER") != "1":
+        dflat = jax.lax.optimization_barrier(dflat)
     return (dflat, np.zeros(ids.shape, jax.dtypes.float0), dvalues)
 
 

@@ -140,3 +140,52 @@ def test_scalar_models_reject_multiclass():
 
     with pytest.raises(ValueError, match="scalar head"):
         create_model(ModelConfig(model="fm", noutput=3))
+
+
+BINARY_ARFF = """@relation toy2
+@attribute f0 numeric
+@attribute f1 numeric
+@attribute clase {0,1}
+@data
+1.0,2.0,0
+4.0,5.0,1
+2.0,3.0,0
+5.0,6.0,1
+1.5,2.5,0
+4.5,5.5,1
+"""
+
+
+def test_binary_uci_routes_to_multiclass_head(tmp_path, monkeypatch):
+    """nclass == 2 UCI datasets must use the softmax-CE/accuracy head —
+    reference parity: its UCI pipeline never uses the BCE/AUC CTR path
+    (data_loader.py:104-180; ADVICE r1)."""
+    import importlib.util
+    import os
+    import sys
+
+    d = tmp_path / "toybin"
+    d.mkdir()
+    (d / "toybin.arff").write_text(BINARY_ARFF)
+    (d / "conxuntos.dat").write_text("0 1 2 3\n4 5\n")
+
+    # load OUR train.py by explicit path: test_models prepends the
+    # reference checkout to sys.path, whose train.py would otherwise win
+    # the name (its module-level argparse exits on pytest's argv)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "armnet_tpu_train_entry", os.path.join(repo, "train.py"))
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
+
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model", "dnn", "--dataset", "toybin",
+        "--data_dir", str(tmp_path), "--epoch", "1", "--batch_size", "4",
+        "--log_dir", str(tmp_path / "log"), "--exp_name", "binroute",
+        "--valid_perc", "0.25"])
+    results = train_mod.main()
+    assert len(results) == 1
+    # the metric reported is accuracy in [0, 1]; reaching here means the
+    # multiclass (noutput=2) head trained without the BCE path asserting
+    log = (tmp_path / "log" / "binroute_2025" / "stdout.log").read_text()
+    assert "Acc" in log and "AUC" not in log
