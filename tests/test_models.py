@@ -183,3 +183,118 @@ def test_armnet_1h_numeric_parity_via_weight_transplant():
     # exp-cross + BN amplify backend float noise (entmax alone agrees at 5e-6);
     # structural wiring errors diverge at O(0.1), far above this tolerance.
     np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_armnet_multihead_numeric_parity_via_weight_transplant():
+    """Multi-head ARM-Net: transplant identical weights, eval-mode forward
+    must agree (exercises the [B,K,O,F] bilinear gates, per-head entmax,
+    multi-head exp-cross and the K*O-channel BN; reference
+    models/armnet.py:8-101)."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model="armnet", dropout=0.0, mlp_nlayer=1)
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=5)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger("parity_mh")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args("armnet", cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = {
+        "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+        "attn_layer.bilinear_w": t(params["attn_layer"]["bilinear_w"]),
+        "attn_layer.query": t(params["attn_layer"]["query"]),
+        "attn_layer.values": t(params["attn_layer"]["values"]),
+        "arm_bn.weight": t(params["arm_bn"]["BatchNorm_0"]["scale"]),
+        "arm_bn.bias": t(params["arm_bn"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.0.weight": t(params["mlp"]["TorchLinear_0"]["kernel"].T),
+        "mlp.mlp.0.bias": t(params["mlp"]["TorchLinear_0"]["bias"]),
+        "mlp.mlp.1.weight": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["scale"]),
+        "mlp.mlp.1.bias": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.4.weight": t(params["mlp"]["TorchLinear_1"]["kernel"].T),
+        "mlp.mlp.4.bias": t(params["mlp"]["TorchLinear_1"]["bias"]),
+    }
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_gc_arm_numeric_parity_via_weight_transplant():
+    """GC-ARM: transplant identical weights, eval-mode forward must agree
+    (exercises the global-context bias on the gates, exp-BEFORE-weighting
+    emb_bn path and the plain weighted sum; reference models/gc_arm.py)."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model="gc_arm", dropout=0.0, mlp_nlayer=1)
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=6)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger("parity_gc")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args("gc_arm", cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = {
+        "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+        "emb_bn.weight": t(params["emb_bn"]["BatchNorm_0"]["scale"]),
+        "emb_bn.bias": t(params["emb_bn"]["BatchNorm_0"]["bias"]),
+        "attn_layers.Q": t(params["attn_layers"]["query"]),
+        "attn_layers.bilinear": t(params["attn_layers"]["bilinear"]),
+        "attn_layers.values": t(params["attn_layers"]["values"]),
+        "arm_bn.weight": t(params["arm_bn"]["BatchNorm_0"]["scale"]),
+        "arm_bn.bias": t(params["arm_bn"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.0.weight": t(params["mlp"]["TorchLinear_0"]["kernel"].T),
+        "mlp.mlp.0.bias": t(params["mlp"]["TorchLinear_0"]["bias"]),
+        "mlp.mlp.1.weight": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["scale"]),
+        "mlp.mlp.1.bias": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.4.weight": t(params["mlp"]["TorchLinear_1"]["kernel"].T),
+        "mlp.mlp.4.bias": t(params["mlp"]["TorchLinear_1"]["bias"]),
+    }
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=1e-2)
