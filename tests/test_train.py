@@ -162,3 +162,21 @@ def test_bf16_compute_dtype_trains():
     finally:
         set_compute_dtype("float32")
     assert np.isfinite(last) and last < first
+
+
+def test_debug_nans_flag_plumbing(quiet_logger):
+    """--debug_nans flips jax_debug_nans via the Trainer (SURVEY §5 NaN
+    tooling row)."""
+    import jax
+
+    assert not jax.config.jax_debug_nans
+    cfg = ExperimentConfig(model="lr", nfeat=64, nfield=4, lr=0.01)
+    cfg.debug_nans = True
+    tr, va, te = make_loaders()
+    try:
+        trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
+        assert jax.config.jax_debug_nans
+        # and a normal step still runs under the checker
+        trainer.fit(epochs=1, patience=10)
+    finally:
+        jax.config.update("jax_debug_nans", False)

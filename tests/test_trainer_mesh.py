@@ -62,3 +62,37 @@ def test_dp_only_mesh_trainer(quiet_logger):
     trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
     best_valid, _ = trainer.fit(epochs=6, patience=10)
     assert best_valid > 0.95
+
+
+def test_checkpoint_roundtrip_under_mesh(tmp_path, quiet_logger):
+    """Sharded-state checkpointing: save passes live sharded arrays to
+    Orbax and restore rebuilds them with their original shardings (the r2
+    multi-host checkpoint path; a device_get-based save would fail on
+    non-addressable shards in real multi-process runs)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from armnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = ExperimentConfig(
+        model="armnet_1h", nfeat=64, nfield=4, nemb=8, h=8, mlp_nlayer=1,
+        mlp_nhid=16, alpha=2.0, lr=0.01, mesh="data:4,model:2",
+        shard_embedding=True)
+    tr = BatchIterator(SyntheticDataset(256, seed=0), 64, True, seed=1)
+    va = BatchIterator(SyntheticDataset(128, seed=1), 64, False)
+    te = BatchIterator(SyntheticDataset(128, seed=2), 64, False)
+    trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
+    trainer.fit(epochs=1, patience=10)
+
+    save_checkpoint(str(tmp_path / "ck"), trainer.state,
+                    extra={"epoch": 0}, is_best=False)
+
+    fresh = Trainer(cfg, tr, va, te, quiet_logger, seed=123)
+    restored, extra = load_checkpoint(str(tmp_path / "ck"), fresh.state)
+    assert extra["epoch"] == 0
+    emb = restored.params["embedding"]["embedding"]
+    assert emb.sharding.spec == P("model", None)   # sharding survives
+    a = jax.tree.leaves(trainer.state.params)
+    b = jax.tree.leaves(restored.params)
+    assert all(bool(jnp.allclose(x, y)) for x, y in zip(a, b))

@@ -17,6 +17,10 @@ def main():
     args = get_args()
 
     import jax
+    # this image's sitecustomize registers the tunneled TPU regardless of
+    # JAX_PLATFORMS; honor an explicit cpu request (virtual-mesh runs)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from armnet_tpu.kernels.config import (set_compute_dtype,
                                             set_kernel_backend)
     set_kernel_backend(args.kernels)
