@@ -157,7 +157,8 @@ class Trainer:
                                           lookup_cm=lookup_cm, task=self.task,
                                           overflow_fn=self.overflow_fn)
         self.eval_step = make_eval_step(shardings=shardings,
-                                        lookup_cm=lookup_cm, task=self.task)
+                                        lookup_cm=lookup_cm, task=self.task,
+                                        overflow_fn=self.overflow_fn)
         self.rng = jax.random.key(seed + 7)
 
     def fit(self, epochs, patience=1, eval_freq=10000, report_freq=30):

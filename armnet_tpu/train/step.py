@@ -138,7 +138,8 @@ def _with_lookup_cm(jitted, lookup_cm):
     return wrapped
 
 
-def make_eval_step(shardings=None, lookup_cm=None, task="binary"):
+def make_eval_step(shardings=None, lookup_cm=None, task="binary",
+                   overflow_fn=None):
     """Jitted eval step: frozen batch_stats, no dropout."""
     loss_metric, quality_metric, _ = task_fns(task)
 
@@ -148,7 +149,9 @@ def make_eval_step(shardings=None, lookup_cm=None, task="binary"):
             {"id": batch["id"], "value": batch["value"]}, train=False)
         loss = loss_metric(logits, batch["y"], batch["mask"])
         auc = quality_metric(logits, batch["y"], batch["mask"])
-        return _update_meters(meters, loss, auc, batch["mask"].sum())
+        overflow = overflow_fn(batch["id"]) if overflow_fn else None
+        return _update_meters(meters, loss, auc, batch["mask"].sum(),
+                              overflow)
 
     kw = {}
     if shardings is not None:
