@@ -78,8 +78,16 @@ def save_checkpoint(ckpt_dir, state, extra=None, tag="last", is_best=False):
 
 
 def load_checkpoint(ckpt_dir, state, tag="last"):
-    """Restore into an existing TrainState template; returns (state, extra)."""
+    """Restore into an existing TrainState template; returns (state, extra).
+
+    Accepts either the checkpoint ROOT (containing last/ and best/) or a
+    direct tag directory (.../last) — passing the deeper path is the
+    natural CLI mistake and both spellings are unambiguous."""
     ckpt_dir = os.path.abspath(ckpt_dir)
+    base = os.path.basename(ckpt_dir)
+    if base in ("last", "best") and not os.path.isdir(
+            os.path.join(ckpt_dir, tag)):
+        ckpt_dir, tag = os.path.dirname(ckpt_dir), base
     path = os.path.join(ckpt_dir, tag)
     ocp = _orbax()
     if ocp is not None:
