@@ -156,9 +156,11 @@ def _process_local_rows(global_batch):
     import jax
 
     nproc = jax.process_count()
-    per = global_batch // nproc
-    assert per * nproc == global_batch, (
-        f"global batch {global_batch} must divide process count {nproc}")
+    per, rem = divmod(global_batch, nproc)
+    if rem:
+        raise ValueError(
+            f"process count {nproc} must divide the global batch size "
+            f"{global_batch} (each process contributes an equal row slice)")
     pid = jax.process_index()
     return pid * per, (pid + 1) * per
 

@@ -111,6 +111,10 @@ def _kernel(starts_ref, payload_hbm, out_ref, pay_scr, sems, *, n, e):
 def _table_grad_tpu(g, flat_ids, nrows, interpret=False):
     n, e = g.shape
     assert nrows < 2 ** 24, "ids must be f32-exact (payload-row encoding)"
+    # WIN must stay a 128-multiple: the end-of-array clamp aligns the
+    # window offset DOWN, and a ragged window would then end before the
+    # final valid positions — silently dropping tail updates
+    assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
     order = jnp.argsort(flat_ids)
     sid = flat_ids[order].astype(jnp.int32)
     sg = g[order].astype(jnp.float32)
@@ -450,6 +454,9 @@ def _table_grad_tpu_v3(g, flat_ids, nrows, interpret=False):
     k = 128 // math.gcd(e, 128)
     bucket = 128 * k
     assert k * e <= MAX_KE3 and 2 * e + 1 <= 128
+    # see _table_grad_tpu: a ragged window drops tail updates at the clamp
+    assert CHUNK3 % ALIGN3 == 0, \
+        "ARMNET_SCATTER_CHUNK3 must be a multiple of 128"
 
     order = jnp.argsort(flat_ids)
     sid = flat_ids[order].astype(jnp.int32)

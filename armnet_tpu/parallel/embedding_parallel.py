@@ -155,7 +155,9 @@ def a2a_overflow_count(ids, nfeat, mesh, *, data_axis=DATA_AXIS,
     iff its within-bucket position >= cap, i.e. max(bucket_count - cap, 0)
     summed over buckets."""
     nshards = mesh.shape[model_axis]
-    rows_per_shard = nfeat // nshards
+    # guard direct callers: with nfeat < nshards the lookup itself would
+    # refuse (nfeat must divide the axis) — avoid a div-by-zero here
+    rows_per_shard = max(nfeat // nshards, 1)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(data_axis, None),
              out_specs=P(), check_vma=False)

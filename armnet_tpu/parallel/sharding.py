@@ -32,15 +32,19 @@ def table_spec(mesh, ndim=2):
 def leaf_spec(leaf, nfeat, mesh, shard_embedding, name=None):
     """PartitionSpec for one state leaf.
 
-    2-D tables are identified by shape (leading dim == nfeat). 1-D leaves
-    are flat-stored tables ONLY when the parameter is named 'embedding'
-    (ops/layers.py Embedding) — a pure size heuristic (size % nfeat == 0)
-    can capture MLP biases when nfeat is small (UCI: nfeat ~ 10), sharding
-    them over the model axis unintentionally. When no path name is
-    available (name=None) the size heuristic is kept as a fallback."""
+    Gather-path tables are identified by parameter NAME + shape, not shape
+    alone — size heuristics capture unrelated params when nfeat is small
+    (UCI sets nfeat ~ nfield ~ 10: MLP biases match size % nfeat == 0,
+    and gcn's [nemb, h] 'weight' can match a leading-dim test). The real
+    tables are exactly: Embedding's 'embedding' ([nfeat, nemb] 2-D or
+    flat [nfeat*nemb] 1-D) and FeaturesLinear's 'weight' ([nfeat, 1]).
+    When no path name is available (name=None) shape heuristics are kept
+    as a fallback."""
     if shard_embedding and hasattr(leaf, "ndim"):
         if leaf.ndim == 2 and leaf.shape[0] == nfeat:
-            return table_spec(mesh, 2)
+            if name == "embedding" or name is None \
+                    or (name == "weight" and leaf.shape[1] == 1):
+                return table_spec(mesh, 2)
         if leaf.ndim == 1 and leaf.shape[0] >= nfeat \
                 and leaf.shape[0] % nfeat == 0:
             if name == "embedding" or name is None:

@@ -86,9 +86,13 @@ def load_checkpoint(ckpt_dir, state, tag="last"):
     ckpt_dir = os.path.abspath(ckpt_dir)
     base = os.path.basename(ckpt_dir)
     if base in ("last", "best") and not os.path.isdir(
-            os.path.join(ckpt_dir, tag)):
+            os.path.join(ckpt_dir, tag)) and os.path.isdir(ckpt_dir):
         ckpt_dir, tag = os.path.dirname(ckpt_dir), base
     path = os.path.join(ckpt_dir, tag)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no '{tag}' checkpoint under {ckpt_dir} (pass the checkpoint "
+            f"root containing last/ and best/, or a tag directory itself)")
     ocp = _orbax()
     if ocp is not None:
         # live template: restoring against the sharded state rebuilds each

@@ -139,12 +139,32 @@ class Trainer:
                 cap = float(getattr(config, "embedding_capacity_factor", 2.0))
                 lookup_cm = functools.partial(sharded_lookup_context, mesh,
                                               impl, capacity_factor=cap)
-                if impl == "a2a":
+                nshards = mesh.shape.get("model", 1)
+                if impl == "a2a" and nshards > 1 \
+                        and config.nfeat % nshards == 0:
+                    # (nfeat not divisible -> the lookup falls back to the
+                    # replicated path and nothing is ever dropped; counting
+                    # would report phantom overflow)
                     from armnet_tpu.parallel.embedding_parallel import (
                         a2a_overflow_count)
-                    self.overflow_fn = functools.partial(
+                    from armnet_tpu.parallel.sharding import (_leaf_name,
+                                                              leaf_spec)
+                    from jax.sharding import PartitionSpec as P
+
+                    # every sharded gather-table lookup (embedding tables,
+                    # FeaturesLinear weight, deep-ensemble tables) drops the
+                    # same over-capacity requests independently — scale the
+                    # per-batch count by the number of such tables
+                    ntables = sum(
+                        1 for path, leaf in jax.tree_util
+                        .tree_flatten_with_path(self.state.params)[0]
+                        if leaf_spec(leaf, config.nfeat, mesh, True,
+                                     name=_leaf_name(path)) != P())
+                    count = functools.partial(
                         a2a_overflow_count, nfeat=config.nfeat, mesh=mesh,
                         capacity_factor=cap)
+                    self.overflow_fn = (
+                        lambda ids: count(ids) * max(ntables, 1))
             logger.info(f"mesh {dict(mesh.shape)} | sharded embedding: "
                         f"{shard_emb}")
 
