@@ -167,6 +167,117 @@ def _table_grad_tpu(g, flat_ids, nrows, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# v4: v1's bucketed densify with a bf16 hi|residual payload and a separate
+# int32 id row. Same output/block structure and dot orientation as v1; the
+# differences are pure traffic/VPU savings:
+#   * the transposed payload is bf16 [2e, N] (hi rows | residual rows) —
+#     half the host-side transpose relayout and half the window DMA bytes
+#     (the MXU's DEFAULT f32 dot rounds to bf16 anyway, so numerics are
+#     identical; the split uses lax.reduce_precision — see v3's note);
+#   * ids ride their own [8, N] int32 array (bf16 cannot hold them), so
+#     the kernel skips the in-window f32->int cast and bf16 split.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v4(starts_ref, payload_hbm, idrow_hbm, out_ref, pay_scr, id_scr,
+               sems, *, n, e):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
+    nchunks = (end - start + CHUNK - 1) // CHUNK
+    base = b * BUCKET
+    rows = lax.broadcasted_iota(jnp.int32, (BUCKET, WIN), 0)  # bucket slots
+
+    def body(j, acc):
+        off = start + j * CHUNK
+        off_c = jnp.minimum(off, n - WIN)
+        off_a = pl.multiple_of(off_c - lax.rem(off_c, ALIGN), ALIGN)
+        cp1 = pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off_a, WIN)], pay_scr, sems.at[0])
+        cp2 = pltpu.make_async_copy(
+            idrow_hbm.at[:, pl.ds(off_a, WIN)], id_scr, sems.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+        pos = off_a + lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        valid = (pos >= off) & (pos < jnp.minimum(off + CHUNK, end))
+        local = id_scr[0:1, :] - base                       # [1, WIN]
+
+        onehot = jnp.where((rows == local) & valid, 1.0, 0.0)
+        # hi|residual rows come pre-split in bf16; one DEFAULT dot does
+        # both MXU passes, halves summed on the VPU (v1's layout note)
+        g2 = pay_scr[:2 * e, :].astype(jnp.float32)         # [2e, WIN]
+        dn = (((1,), (1,)), ((), ()))                       # [BUCKET, 2e]
+        out2 = jax.lax.dot_general(onehot, g2, dn,
+                                   preferred_element_type=jnp.float32)
+        return acc + out2[:, :e] + out2[:, e:]
+
+    acc = lax.fori_loop(0, nchunks, body,
+                        jnp.zeros((BUCKET, e), jnp.float32))
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _table_grad_tpu_v4(g, flat_ids, nrows, interpret=False):
+    n, e = g.shape
+    assert nrows < 2 ** 24
+    assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
+    order = jnp.argsort(flat_ids)
+    sid = flat_ids[order].astype(jnp.int32)
+
+    rp = -(-nrows // BUCKET) * BUCKET
+    nb = rp // BUCKET
+    starts = jnp.searchsorted(
+        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * BUCKET).astype(sid.dtype)
+    ).astype(jnp.int32)
+
+    # bf16 hi|residual split BEFORE the gather/transpose (half the bytes);
+    # reduce_precision, not a cast round-trip — see the v3 note on
+    # --xla_allow_excess_precision eliding fused downcasts
+    gf = g.astype(jnp.float32)
+    hi = lax.reduce_precision(gf, 8, 7)
+    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
+                            (gf - hi).astype(jnp.bfloat16)], axis=1)
+    payload = pair[order].T                    # [2e, N] bf16
+    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
+    if ep != 2 * e:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
+    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
+    if np_ != n:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
+    # padded ids -1: never match a bucket slot
+    idrow = jnp.broadcast_to(
+        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
+        (8, np_))
+
+    out_spec = pl.BlockSpec((BUCKET, e), lambda i, starts: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # bf16 payload (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # id row (HBM)
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((ep, WIN), jnp.bfloat16),
+            pltpu.VMEM((8, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_v4, n=np_, e=e),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, e), jnp.float32),
+        interpret=interpret,
+    )(starts, payload, idrow)
+
+
+# ---------------------------------------------------------------------------
 # v2: grouped densify for FLAT-layout gradients.
 #
 # The v1 kernel's [nrows, e] output lives in XLA's T(8,128) tiling, where an
@@ -530,10 +641,15 @@ def table_grad(g, flat_ids, nrows):
     ARMNET_SCATTER=xla forces the exact-f32 XLA scatter everywhere — the
     debugging escape hatch for parity regressions (the kernel's bf16
     hi|residual MXU split carries ~1e-5 relative error; XLA's scatter is
-    exact but serializes row-at-a-time on TPU, 16+ ms at Criteo scale)."""
+    exact but serializes row-at-a-time on TPU, 16+ ms at Criteo scale).
+    v4 (bf16 payload) is the default; ARMNET_SCATTER=v1 selects the f32
+    payload original (bitwise-identical results, ~3% slower step)."""
+    which = os.environ.get("ARMNET_SCATTER", "v4")
     if (jax.default_backend() == "tpu" and nrows < 2 ** 24
-            and os.environ.get("ARMNET_SCATTER") != "xla"):
-        return _table_grad_tpu(g, flat_ids, nrows)
+            and which != "xla"):
+        if which == "v1":
+            return _table_grad_tpu(g, flat_ids, nrows)
+        return _table_grad_tpu_v4(g, flat_ids, nrows)
     return table_grad_reference(g, flat_ids, nrows)
 
 
@@ -541,8 +657,10 @@ def table_grad_flat(g, flat_ids, nrows):
     """Like table_grad but returns the row-major FLAT [nrows*E] gradient —
     the layout of flat-stored tables (ops/embedding.py).
 
-    Dispatch: v1 (+XLA reshape to flat) is the production default, by
-    measurement. ARMNET_SCATTER={v1,v2,v3,xla} overrides: v2/v3 are the
+    Dispatch: v4 (v1's layout with a bf16 hi|residual payload and a
+    separate id row — bitwise-identical numerics, ~3% faster step) is the
+    production default, by A/B measurement. ARMNET_SCATTER={v1,v2,v3,v4,
+    xla} overrides: v1 is the f32-payload original; v2/v3 are the
     digit-factorized exact-tiled-output kernels kept as testbeds — v3
     fixed v2's slow A^T B dot orientation and drops the host transpose,
     but its slot-expansion rhs build ([WIN, 2*k*e] mask+repeat per chunk)
@@ -554,11 +672,13 @@ def table_grad_flat(g, flat_ids, nrows):
     if (jax.default_backend() == "tpu" and nrows < 2 ** 24
             and os.environ.get("ARMNET_SCATTER") != "xla"):
         e = g.shape[1]
-        which = os.environ.get("ARMNET_SCATTER", "v1")
+        which = os.environ.get("ARMNET_SCATTER", "v4")
         if which == "v2" and e <= 120:
             return _table_grad_tpu_v2(g, flat_ids, nrows)
         if which == "v3" and (128 // math.gcd(e, 128)) * e <= MAX_KE3 \
                 and 2 * e + 1 <= 128:
             return _table_grad_tpu_v3(g, flat_ids, nrows)
-        return _table_grad_tpu(g, flat_ids, nrows).reshape(-1)
+        if which == "v1":
+            return _table_grad_tpu(g, flat_ids, nrows).reshape(-1)
+        return _table_grad_tpu_v4(g, flat_ids, nrows).reshape(-1)
     return table_grad_reference(g, flat_ids, nrows).reshape(-1)

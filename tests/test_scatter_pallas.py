@@ -139,3 +139,22 @@ def test_embedding_bag_grad_uses_it():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("n,e,nrows", [
+    (900, 10, 5003),       # duplicates + ragged rows
+    (37, 4, 3001),         # n < CHUNK padding path
+])
+def test_v4_bf16_payload_kernel_parity(n, e, nrows):
+    """v4 (bf16 hi|residual payload + separate id row) vs plain
+    scatter-add, interpret mode — numerics must match v1's two-term bf16
+    budget."""
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v4
+
+    k = jax.random.split(jax.random.key(7), 2)
+    ids = jax.random.randint(k[0], (n,), 0, nrows, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+    got = _table_grad_tpu_v4(g, ids, nrows, interpret=True)
+    want = table_grad_reference(g, ids, nrows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
