@@ -180,3 +180,19 @@ def test_debug_nans_flag_plumbing(quiet_logger):
         trainer.fit(epochs=1, patience=10)
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_every_preset_parses_and_builds_a_model():
+    """Regression guard against the reference's run.sh failure class (its
+    recipes pass flags that don't exist in the CLI — SURVEY §2 row 19):
+    every preset must parse through the real argparse surface AND name a
+    constructible model config."""
+    from armnet_tpu.models import create_model
+    from armnet_tpu.utils.config import get_args
+    from armnet_tpu.utils.presets import PRESETS, expand
+
+    for name in PRESETS:
+        args = get_args(expand(name))          # SystemExit on a stale flag
+        assert args.exp_name == name
+        model = create_model(args)             # registry + config sanity
+        assert model is not None
