@@ -298,3 +298,62 @@ def test_gc_arm_numeric_parity_via_weight_transplant():
     with torch.no_grad():
         ref_logits = ref(tbatch).numpy()
     np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_afn_numeric_parity_via_weight_transplant():
+    """AFN: transplant identical weights, eval-mode forward must agree —
+    exercises the positivity reparametrization (the reference mutates the
+    table in place each forward via abs+clamp, models/afn.py:74-78; we
+    read clip(|W|, 1e-4) — same effective values), the log->BN->Linear->
+    exp->BN chain and both transposes."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model="afn", dropout=0.0, mlp_nlayer=1)
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=9)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger("parity_afn")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args("afn", cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = {
+        "embedding.embedding.weight": t(params["embedding"]),
+        "emb_bn.weight": t(params["emb_bn"]["BatchNorm_0"]["scale"]),
+        "emb_bn.bias": t(params["emb_bn"]["BatchNorm_0"]["bias"]),
+        "afn.weight": t(params["afn_kernel"].T),
+        "afn.bias": t(params["afn_bias"]),
+        "afn_bn.weight": t(params["afn_bn"]["BatchNorm_0"]["scale"]),
+        "afn_bn.bias": t(params["afn_bn"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.0.weight": t(params["mlp"]["TorchLinear_0"]["kernel"].T),
+        "mlp.mlp.0.bias": t(params["mlp"]["TorchLinear_0"]["bias"]),
+        "mlp.mlp.1.weight": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["scale"]),
+        "mlp.mlp.1.bias": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.4.weight": t(params["mlp"]["TorchLinear_1"]["kernel"].T),
+        "mlp.mlp.4.bias": t(params["mlp"]["TorchLinear_1"]["bias"]),
+    }
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=1e-2)
