@@ -357,3 +357,57 @@ def test_afn_numeric_parity_via_weight_transplant():
     with torch.no_grad():
         ref_logits = ref(tbatch).numpy()
     np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_cin_numeric_parity_via_weight_transplant():
+    """CIN (xDeepFM's compressed interaction): transplant identical
+    weights, forward must agree — exercises the outer-product/1x1-conv
+    chain (our batched-einsum formulation vs torch Conv1d, reference
+    models/xdfm.py:5-35) and the first-order Linear."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model="cin", dropout=0.0)
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=11)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger("parity_cin")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args("cin", cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = {
+        "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+        "linear.weight.weight": t(params["linear"]["weight"]),
+        "linear.bias": t(params["linear"]["bias"]),
+        "cin.affine.weight": t(params["cin"]["affine"]["kernel"].T),
+    }
+    ncin = len([k for k in params["cin"] if k.startswith("filter_")])
+    for k in range(ncin):
+        # torch Conv1d weight [out, in, 1] <- ours [in, out]
+        sd[f"cin.filters.{k}.weight"] = t(
+            params["cin"][f"filter_{k}"].T[..., None])
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-4, rtol=1e-4)
