@@ -411,3 +411,63 @@ def test_cin_numeric_parity_via_weight_transplant():
     with torch.no_grad():
         ref_logits = ref(tbatch).numpy()
     np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_sa_glu_numeric_parity_via_weight_transplant():
+    """SA-GLU: transplant identical weights, eval-mode forward must agree
+    — exercises the dual self-attention branches and the GLU gate. The
+    reference declares an emb_bn it never calls in forward
+    (models/sa_glu.py:19,37-50); its keys are excluded from the mapped
+    set, matching our implementation which omits the dead layer."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model="sa_glu", dropout=0.0, mlp_nlayer=1)
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=13)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger("parity_saglu")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args("sa_glu", cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = {
+        "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+        "w_b": t(params["w_b"]),
+        "v_b": t(params["v_b"]),
+        "mlp.mlp.0.weight": t(params["mlp"]["TorchLinear_0"]["kernel"].T),
+        "mlp.mlp.0.bias": t(params["mlp"]["TorchLinear_0"]["bias"]),
+        "mlp.mlp.1.weight": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["scale"]),
+        "mlp.mlp.1.bias": t(params["mlp"]["BatchNorm_0"]["BatchNorm_0"]["bias"]),
+        "mlp.mlp.4.weight": t(params["mlp"]["TorchLinear_1"]["kernel"].T),
+        "mlp.mlp.4.bias": t(params["mlp"]["TorchLinear_1"]["bias"]),
+    }
+    for branch in ("self_attn_w", "self_attn_v"):
+        for i, wname in enumerate(("Wq", "Wk", "Wv")):
+            sd[f"{branch}.{wname}.weight"] = t(
+                params[branch][f"TorchLinear_{i}"]["kernel"].T)
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k
+                  and not k.startswith("emb_bn")) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-4, rtol=1e-4)
