@@ -471,3 +471,51 @@ def test_sa_glu_numeric_parity_via_weight_transplant():
     with torch.no_grad():
         ref_logits = ref(tbatch).numpy()
     np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_hofm_numeric_parity_via_weight_transplant():
+    """HOFM: transplant identical weights, forward must agree — exercises
+    the order-sliced [F, E*(k-1)] embedding, FM pooling and the ANOVA
+    kernel dynamic program for orders 3..k (reference models/hofm.py).
+    No BN/dropout in this model, so tolerance is tight."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model="hofm")        # k=3: FM + one ANOVA order
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=17)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger("parity_hofm")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args("hofm", cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = {
+        "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+        "linear.weight.weight": t(params["linear"]["weight"]),
+        "linear.bias": t(params["linear"]["bias"]),
+    }
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-4, rtol=1e-4)
