@@ -29,31 +29,78 @@ _CACHE_DIR = os.environ.get(
         os.path.abspath(__file__)))), ".cache"))
 
 
-def _cache_key(path, nfield):
+def _cache_key(path, nfield, byte_range=None):
     st = os.stat(path)
-    raw = f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}:{nfield}:v1"
+    rng = f":{byte_range[0]}-{byte_range[1]}" if byte_range else ""
+    raw = (f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
+           f":{nfield}:v1{rng}")
     return hashlib.sha1(raw.encode()).hexdigest()[:16]
 
 
-def _parse_native(path, nfield):
+def _shard_bytes(path, lo, hi):
+    """The bytes of the rows owned by byte range [lo, hi): a row belongs to
+    the shard containing its FIRST byte (shard 0 starts at 0; others skip
+    forward to the first line start >= lo; the final row may extend past hi).
+    Mirrors csrc/libsvm_parser.cc shard_range so the numpy fallback
+    partitions rows identically to the native parser."""
+    size = os.path.getsize(path)
+    lo, hi = max(lo, 0), min(hi, size)
+    with open(path, "rb") as f:
+        if lo > 0:
+            f.seek(lo - 1)
+            # if byte lo-1 is '\n', the line starting AT lo is ours
+            chunk = f.read(1)
+            if chunk != b"\n":
+                while True:
+                    c = f.read(1 << 16)
+                    if not c:
+                        return b""
+                    nl = c.find(b"\n")
+                    if nl >= 0:
+                        f.seek(f.tell() - len(c) + nl + 1)
+                        break
+        start = f.tell()
+        if start >= hi:
+            return b""
+        data = f.read(hi - start)
+        # extend the final (possibly cut) line to its newline
+        if data and not data.endswith(b"\n"):
+            while True:
+                c = f.read(1 << 16)
+                if not c:
+                    break
+                nl = c.find(b"\n")
+                if nl >= 0:
+                    data += c[:nl + 1]
+                    break
+                data += c
+    return data
+
+
+def _parse_native(path, nfield, byte_range=None):
     """C++ fast parser via ctypes; returns None if the .so is unavailable."""
     try:
-        from armnet_tpu.data.native import parse_file
+        from armnet_tpu.data.native import parse_file, parse_file_range
     except Exception:
         return None
     try:
+        if byte_range is not None:
+            return parse_file_range(path, nfield, *byte_range)
         return parse_file(path, nfield)
     except Exception as e:  # pragma: no cover - corrupted .so etc.
         warnings.warn(f"native libsvm parser failed ({e}); using numpy fallback")
         return None
 
 
-def _parse_numpy_fast(path, nfield):
+def _parse_numpy_fast(path, nfield, byte_range=None):
     """Vectorized parse: works when every line is well-formed with exactly
     `nfield` id:value pairs. Returns None if the file doesn't fit the fast
     path (then the robust line parser takes over)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    if byte_range is not None:
+        data = _shard_bytes(path, *byte_range)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
     if not data:
         return (np.zeros((0, nfield), np.int32), np.zeros((0, nfield), np.float32),
                 np.zeros((0,), np.float32))
@@ -75,42 +122,62 @@ def _parse_numpy_fast(path, nfield):
     return ids, values, labels
 
 
-def _parse_numpy_robust(path, nfield):
+def _iter_lines(path, byte_range):
+    if byte_range is not None:
+        yield from _shard_bytes(path, *byte_range).decode().splitlines()
+    else:
+        with open(path) as f:
+            yield from f
+
+
+def _parse_numpy_robust(path, nfield, byte_range=None):
     """Line-by-line parse skipping malformed lines with a warning."""
     ids_rows, val_rows, labels = [], [], []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                cols = line.split(" ")
-                pairs = [c.split(":") for c in cols[1:]]
-                row_ids = [int(p[0]) for p in pairs]
-                row_vals = [float(p[1]) for p in pairs]
-                if len(row_ids) != nfield:
-                    raise ValueError("field count mismatch")
-                labels.append(float(cols[0]))
-                ids_rows.append(row_ids)
-                val_rows.append(row_vals)
-            except Exception:
-                print(f'incorrect data format line "{line}" !')
+    for line in _iter_lines(path, byte_range):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            cols = line.split(" ")
+            pairs = [c.split(":") for c in cols[1:]]
+            row_ids = [int(p[0]) for p in pairs]
+            row_vals = [float(p[1]) for p in pairs]
+            if len(row_ids) != nfield:
+                raise ValueError("field count mismatch")
+            labels.append(float(cols[0]))
+            ids_rows.append(row_ids)
+            val_rows.append(row_vals)
+        except Exception:
+            print(f'incorrect data format line "{line}" !')
     return (np.asarray(ids_rows, np.int32).reshape(-1, nfield),
             np.asarray(val_rows, np.float32).reshape(-1, nfield),
             np.asarray(labels, np.float32))
 
 
-def parse_libsvm(path, nfield, use_cache=True):
+def shard_byte_range(path, shard_idx, num_shards):
+    """Even byte-range split of a file for per-host sharded parsing."""
+    size = os.path.getsize(path)
+    lo = shard_idx * size // num_shards
+    hi = (shard_idx + 1) * size // num_shards
+    return (lo, hi)
+
+
+def parse_libsvm(path, nfield, use_cache=True, byte_range=None):
     """Parse a libsvm file into (ids [N,F] i32, values [N,F] f32, y [N] f32).
 
     Tries (1) binary cache, (2) C++ parser, (3) vectorized numpy, (4) robust
-    line-by-line with malformed-line skipping."""
+    line-by-line with malformed-line skipping.
+
+    byte_range=(lo, hi): parse only the rows whose first byte lies in the
+    range — the per-host shard (SURVEY.md §3.5). Row ownership matches the
+    native parser's shard_range (csrc/libsvm_parser.cc), so splitting
+    [0, filesize) into disjoint ranges partitions the rows exactly."""
     # Cache layout: three raw .npy files (ids/values/labels) so Criteo-scale
     # datasets reload via mmap without a decompress/copy pass.
     MMAP_BYTES = 512 * 1024 * 1024
 
     if use_cache:
-        key = _cache_key(path, nfield)
+        key = _cache_key(path, nfield, byte_range)
         base = os.path.join(_CACHE_DIR, f"libsvm_{key}")
         names = [f"{base}.{k}.npy" for k in ("ids", "values", "labels")]
         if all(os.path.exists(n) for n in names):
@@ -118,11 +185,11 @@ def parse_libsvm(path, nfield, use_cache=True):
             mode = "r" if total > MMAP_BYTES else None
             return tuple(np.load(n, mmap_mode=mode) for n in names)
 
-    out = _parse_native(path, nfield)
+    out = _parse_native(path, nfield, byte_range)
     if out is None:
-        out = _parse_numpy_fast(path, nfield)
+        out = _parse_numpy_fast(path, nfield, byte_range)
     if out is None:
-        out = _parse_numpy_robust(path, nfield)
+        out = _parse_numpy_robust(path, nfield, byte_range)
     ids, values, labels = out
 
     if use_cache:
@@ -136,12 +203,22 @@ def parse_libsvm(path, nfield, use_cache=True):
 
 
 class LibsvmDataset:
-    """In-memory (or mmapped-cache) dataset of parsed libsvm rows."""
+    """In-memory (or mmapped-cache) dataset of parsed libsvm rows.
 
-    def __init__(self, path, nfield, use_cache=True):
-        self.ids, self.values, self.labels = parse_libsvm(path, nfield, use_cache)
+    shard=(i, P): parse/hold only the i-th of P byte-range shards — each
+    host does ~1/P of the parse work and holds ~1/P of the rows (replaces
+    the reference's eager whole-file load, data_loader.py:25-47, which a
+    multi-host run would otherwise repeat P times)."""
+
+    def __init__(self, path, nfield, use_cache=True, shard=None):
+        byte_range = None
+        if shard is not None:
+            byte_range = shard_byte_range(path, *shard)
+        self.ids, self.values, self.labels = parse_libsvm(
+            path, nfield, use_cache, byte_range)
         self.nfield = nfield
         self.path = path
+        self.shard = shard
 
     def __len__(self):
         return self.labels.shape[0]
@@ -173,7 +250,7 @@ class BatchIterator:
     padded to B so XLA sees a single static shape)."""
 
     def __init__(self, dataset, batch_size, shuffle, seed=0, device_put=True,
-                 drop_last=False, sharding=None):
+                 drop_last=False, sharding=None, local_shard_total=None):
         self.ds = dataset
         self.bsz = batch_size
         self.shuffle = shuffle
@@ -182,9 +259,16 @@ class BatchIterator:
         self.device_put = device_put
         self.drop_last = drop_last
         self.sharding = sharding  # optional dict of NamedShardings per key
+        # local_shard_total: the dataset holds ONLY this process's row shard
+        # (per-host sharded parse); the value is the GLOBAL row count, so
+        # every process derives the same number of global batches even when
+        # byte-range shards differ by a few rows. Each process then draws
+        # its bsz/process_count batch rows from its local shard (padding
+        # with mask-0 rows if its shard runs out first).
+        self.local_shard_total = local_shard_total
 
     def __len__(self):
-        n = len(self.ds)
+        n = self.local_shard_total if self.local_shard_total else len(self.ds)
         return n // self.bsz if self.drop_last else (n + self.bsz - 1) // self.bsz
 
     def _order(self):
@@ -214,9 +298,28 @@ class BatchIterator:
             mask[n:] = 0.0
         return {"id": ids, "value": values, "y": y, "mask": mask}
 
+    def _make_local(self, idx):
+        """Assemble a global batch from process-LOCAL shard rows: idx indexes
+        this process's local dataset; the local slice is exactly the rows its
+        addressable devices own (make_array_from_process_local_data)."""
+        import jax
+
+        if self.sharding is not None:
+            lo, hi = _process_local_rows(self.bsz)
+            local = self._rows(idx, 0, hi - lo)
+            return {k: jax.make_array_from_process_local_data(
+                        self.sharding[k], v)
+                    for k, v in local.items()}
+        batch = self._rows(idx, 0, self.bsz)
+        if self.device_put:
+            batch = jax.device_put(batch)
+        return batch
+
     def _make(self, idx):
         import jax
 
+        if self.local_shard_total:
+            return self._make_local(idx)
         if self.device_put and self.sharding is not None:
             # Multi-host-correct assembly (SURVEY.md §3.5 streaming sharded
             # host loader): each process materializes ONLY the batch rows
@@ -240,12 +343,16 @@ class BatchIterator:
     def __iter__(self):
         order = self._order()
         self.epoch += 1
-        n = len(order)
         nb = len(self)
+        step = self.bsz
+        if self.local_shard_total:
+            if self.sharding is not None:
+                lo, hi = _process_local_rows(self.bsz)
+                step = hi - lo           # local rows contributed per batch
         # one-batch lookahead: device_put of batch k+1 overlaps step k
         pending = None
         for b in range(nb):
-            idx = order[b * self.bsz:(b + 1) * self.bsz]
+            idx = order[b * step:(b + 1) * step]
             nxt = self._make(idx)
             if pending is not None:
                 yield pending

@@ -46,6 +46,15 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
     lib.libsvm_parse.restype = ctypes.c_int64
+    lib.libsvm_count_rows_range.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+    lib.libsvm_count_rows_range.restype = ctypes.c_int64
+    lib.libsvm_parse_range.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.libsvm_parse_range.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -69,6 +78,32 @@ def parse_file(path, nfield):
         nrows, ctypes.byref(skipped))
     if got < 0:
         raise IOError(f"native parse failed for {path}")
+    if skipped.value:
+        warnings.warn(f"{path}: skipped {skipped.value} malformed line(s)")
+    return ids[:got], values[:got], labels[:got]
+
+
+def parse_file_range(path, nfield, byte_lo, byte_hi):
+    """Parse only the rows whose first byte lies in [byte_lo, byte_hi) —
+    the per-host shard of SURVEY.md §3.5 (each process parses ~1/P of the
+    bytes instead of P redundant whole-file parses)."""
+    lib = _load()
+    path_b = os.fsencode(path)
+    nrows = lib.libsvm_count_rows_range(path_b, byte_lo, byte_hi)
+    if nrows < 0:
+        raise IOError(f"cannot read {path}")
+    ids = np.empty((max(nrows, 1), nfield), np.int32)
+    values = np.empty((max(nrows, 1), nfield), np.float32)
+    labels = np.empty((max(nrows, 1),), np.float32)
+    skipped = ctypes.c_int64(0)
+    got = lib.libsvm_parse_range(
+        path_b, nfield, byte_lo, byte_hi,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nrows, ctypes.byref(skipped))
+    if got < 0:
+        raise IOError(f"native range parse failed for {path}")
     if skipped.value:
         warnings.warn(f"{path}: skipped {skipped.value} malformed line(s)")
     return ids[:got], values[:got], labels[:got]

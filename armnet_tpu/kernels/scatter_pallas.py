@@ -53,6 +53,31 @@ def table_grad_reference(g, flat_ids, nrows):
     return jnp.zeros((nrows, g.shape[1]), g.dtype).at[flat_ids].add(g)
 
 
+def _sorted_prep(flat_ids, nrows, bucket):
+    """Group the N updates by table bucket: returns (order, sid, starts) with
+    `order` a permutation grouping ids by id//bucket, `sid` the permuted ids,
+    and `starts` the [nb+1] per-bucket ranges in the permuted array.
+
+    Default (cosort): one variadic lax.sort co-sorting (ids, iota) returns
+    BOTH the sorted ids and the grouping permutation. The r1/r2 code did
+    argsort(ids) and then gathered ids[order] — but on v5e the [N] gather
+    costs ~1 ms (more than the whole sort, measured r3); the sort op always
+    computes the sorted keys anyway, so asking for them is free.
+    ARMNET_SCATTER_PREP=argsort restores the original for A/B."""
+    n = flat_ids.shape[0]
+    nb = -(-nrows // bucket)
+    ids32 = flat_ids.astype(jnp.int32)
+    edges = jnp.arange(nb + 1, dtype=jnp.int32)
+    if os.environ.get("ARMNET_SCATTER_PREP", "cosort") == "argsort":
+        order = jnp.argsort(ids32)
+        sid = ids32[order]
+    else:
+        sid, order = lax.sort(
+            (ids32, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    starts = jnp.searchsorted(sid, edges * bucket).astype(jnp.int32)
+    return order, sid, starts
+
+
 def _kernel(starts_ref, payload_hbm, out_ref, pay_scr, sems, *, n, e):
     # NOTE (r2): a static double-buffered variant of this loop (prefetch
     # chunk j+2 while j computes, even/odd buffers, balanced semaphores)
@@ -115,16 +140,9 @@ def _table_grad_tpu(g, flat_ids, nrows, interpret=False):
     # window offset DOWN, and a ragged window would then end before the
     # final valid positions — silently dropping tail updates
     assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
-    order = jnp.argsort(flat_ids)
-    sid = flat_ids[order].astype(jnp.int32)
+    order, sid, starts = _sorted_prep(flat_ids, nrows, BUCKET)
     sg = g[order].astype(jnp.float32)
-
-    rp = -(-nrows // BUCKET) * BUCKET
-    nb = rp // BUCKET
-    # per-bucket update ranges in the sorted id array
-    starts = jnp.searchsorted(
-        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * BUCKET).astype(sid.dtype)
-    ).astype(jnp.int32)
+    nb = -(-nrows // BUCKET)
 
     # transposed payload [ep, N]: e gradient rows, the id as an
     # exact-integer f32 row, zero pad to a sublane multiple
@@ -223,14 +241,8 @@ def _table_grad_tpu_v4(g, flat_ids, nrows, interpret=False):
     n, e = g.shape
     assert nrows < 2 ** 24
     assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
-    order = jnp.argsort(flat_ids)
-    sid = flat_ids[order].astype(jnp.int32)
-
-    rp = -(-nrows // BUCKET) * BUCKET
-    nb = rp // BUCKET
-    starts = jnp.searchsorted(
-        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * BUCKET).astype(sid.dtype)
-    ).astype(jnp.int32)
+    order, sid, starts = _sorted_prep(flat_ids, nrows, BUCKET)
+    nb = -(-nrows // BUCKET)
 
     # bf16 hi|residual split BEFORE the gather/transpose (half the bytes);
     # reduce_precision, not a cast round-trip — see the v3 note on
@@ -367,14 +379,9 @@ def _table_grad_tpu_v2(g, flat_ids, nrows, interpret=False):
     k = 128 // math.gcd(e, 128)
     bucket = 128 * k
 
-    order = jnp.argsort(flat_ids)
-    sid = flat_ids[order].astype(jnp.int32)
+    order, sid, starts = _sorted_prep(flat_ids, nrows, bucket)
     sg = g[order].astype(jnp.float32)
-
     nb = -(-nrows // bucket)
-    starts = jnp.searchsorted(
-        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * bucket).astype(sid.dtype)
-    ).astype(jnp.int32)
 
     # row-major payload [N_pad, 128]: grads | id | zeros; padded ids -1
     np_ = max(WIN2, -(-n // 8) * 8)
@@ -569,13 +576,8 @@ def _table_grad_tpu_v3(g, flat_ids, nrows, interpret=False):
     assert CHUNK3 % ALIGN3 == 0, \
         "ARMNET_SCATTER_CHUNK3 must be a multiple of 128"
 
-    order = jnp.argsort(flat_ids)
-    sid = flat_ids[order].astype(jnp.int32)
-
+    order, sid, starts = _sorted_prep(flat_ids, nrows, bucket)
     nb = -(-nrows // bucket)
-    starts = jnp.searchsorted(
-        sid, (jnp.arange(nb + 1, dtype=jnp.int32) * bucket).astype(sid.dtype)
-    ).astype(jnp.int32)
 
     # row-major bf16 payload [N_pad, 128]: hi | residual | slot digit | zero
     # pad to a full lane tile (Mosaic rejects narrow-minor-dim DMA slices).

@@ -137,6 +137,25 @@ class Trainer:
             if shard_emb:
                 impl = getattr(config, "embedding_exchange", "psum")
                 cap = float(getattr(config, "embedding_capacity_factor", 2.0))
+                if impl == "a2a" and cap <= 0:
+                    # AUTO capacity: host pre-pass over the first few train
+                    # batches sizes the per-shard buckets so skewed
+                    # (power-law) real ids drop nothing without hand-tuning
+                    from armnet_tpu.parallel.embedding_parallel import (
+                        required_capacity_factor)
+                    ds = getattr(train_loader, "ds", None)
+                    if ds is not None and len(ds) > 0:
+                        bsz = train_loader.bsz
+                        nb = min(8, max(len(ds) // bsz, 1))
+                        sample = [ds.ids[i * bsz:(i + 1) * bsz]
+                                  for i in range(nb)]
+                        cap = required_capacity_factor(
+                            sample, config.nfeat, mesh)
+                    else:       # no host dataset handle: safe static default
+                        cap = 4.0
+                    logger.info(
+                        f"a2a capacity factor auto-sized to {cap:.2f} "
+                        f"(pre-pass over the first batches' id histogram)")
                 lookup_cm = functools.partial(sharded_lookup_context, mesh,
                                               impl, capacity_factor=cap)
                 nshards = mesh.shape.get("model", 1)

@@ -130,7 +130,9 @@ def build_arg_parser():
                    default=d.embedding_capacity_factor,
                    help="a2a per-shard bucket size multiplier over the "
                         "uniform-hash expectation; overflowing requests drop "
-                        "to zero rows and are counted in the overflow meter")
+                        "to zero rows and are counted in the overflow meter. "
+                        "<= 0 auto-sizes from the first batches' id histogram "
+                        "(zero drops without hand-tuning)")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--debug_nans", action="store_true", default=False,
                    help="enable jax_debug_nans (fail fast on NaN/Inf)")

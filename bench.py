@@ -69,7 +69,13 @@ def main():
         def chain(state, meters):
             def body(carry, _):
                 state, meters = carry
-                state, meters = step(state, meters, batch, key)
+                # vary ids per chained step: with a loop-INVARIANT batch XLA
+                # hoists every id-dependent op (the table-grad sort/searchsorted
+                # prep) out of the scan, overstating throughput vs real
+                # training where every batch is fresh (r3 protocol fix)
+                b = dict(batch)
+                b["id"] = (batch["id"] + state.step.astype(jnp.int32)) % cfg.nfeat
+                state, meters = step(state, meters, b, key)
                 return (state, meters), ()
             (state, meters), _ = jax.lax.scan(
                 body, (state, meters), None, length=n)

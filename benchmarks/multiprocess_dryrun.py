@@ -43,7 +43,7 @@ def worker(pid):
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from armnet_tpu.data.libsvm import BatchIterator
+    from armnet_tpu.data.libsvm import BatchIterator, LibsvmDataset
     from armnet_tpu.models import ModelConfig, create_model
     from armnet_tpu.parallel.mesh import make_mesh
     from armnet_tpu.parallel.sharding import batch_sharding, state_shardings
@@ -53,21 +53,29 @@ def worker(pid):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     nfeat, nfield, bsz = 1024, 6, 64
+    nrows = int(os.environ["_ARMNET_MP_ROWS"])
+    data_path = os.environ["_ARMNET_MP_DATA"]
     mesh = make_mesh("data:4,model:2")          # spans both processes
 
-    class DS:
-        def __init__(self, n, seed=0):
-            r = np.random.RandomState(seed)     # same data on both procs
-            self.ids = r.randint(0, nfeat, (n, nfield)).astype(np.int32)
-            self.values = np.ones((n, nfield), np.float32)
-            self.labels = r.randint(0, 2, (n,)).astype(np.float32)
-            self.nfield = nfield
-
-        def __len__(self):
-            return self.labels.shape[0]
+    # PER-HOST SHARDED PARSE (SURVEY §3.5): each process parses only its
+    # byte-range shard of the file — 1/P the startup work, 1/P the resident
+    # rows — and contributes its local rows to each global batch.
+    ds = LibsvmDataset(data_path, nfield, use_cache=False,
+                       shard=(pid, jax.process_count()))
+    from jax.experimental import multihost_utils
+    lens = multihost_utils.process_allgather(jnp.array([len(ds)]))
+    assert int(np.sum(lens)) == nrows, (
+        f"shards must partition the file: {lens} vs {nrows} rows")
+    assert all(int(x) > 0 for x in lens), "every process owns rows"
+    sums = multihost_utils.process_allgather(
+        jnp.array([np.sum(ds.ids, dtype=np.int64)]))
+    full = LibsvmDataset(data_path, nfield, use_cache=False)  # oracle only
+    assert int(np.sum(sums)) == int(np.sum(full.ids, dtype=np.int64)), (
+        "shard row contents must partition the full parse")
 
     batch_sh = batch_sharding(mesh)
-    it = BatchIterator(DS(200), bsz, shuffle=False, sharding=batch_sh)
+    it = BatchIterator(ds, bsz, shuffle=False, sharding=batch_sh,
+                       local_shard_total=nrows)
     batch = next(iter(it))                      # process-local assembly
     assert batch["id"].shape == (bsz, nfield)   # global logical shape
 
@@ -105,9 +113,20 @@ def main():
     if "_ARMNET_MP_WORKER" in os.environ:
         worker(int(os.environ["_ARMNET_MP_WORKER"]))
         return
+    # write the shared libsvm file the workers shard-parse (nfeat=1024, F=6)
+    import numpy as np
+    nrows, nfield, nfeat = 200, 6, 1024
+    data_path = "/tmp/armnet_mp_data.libsvm"
+    r = np.random.RandomState(0)
+    with open(data_path, "w") as fh:
+        for _ in range(nrows):
+            pairs = " ".join(f"{r.randint(0, nfeat)}:1"
+                             for _ in range(nfield))
+            fh.write(f"{r.randint(0, 2)} {pairs}\n")
     procs = []
     for pid in (0, 1):
-        env = dict(os.environ, _ARMNET_MP_WORKER=str(pid))
+        env = dict(os.environ, _ARMNET_MP_WORKER=str(pid),
+                   _ARMNET_MP_ROWS=str(nrows), _ARMNET_MP_DATA=data_path)
         procs.append(subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))

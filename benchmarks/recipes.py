@@ -75,7 +75,10 @@ def bench_one(tag, kwargs):
         def chain(state, meters):
             def body(c, _):
                 s, m = c
-                s, m = step(s, m, batch, key)
+                # fresh ids per chained step — see bench.py (hoisting fix)
+                b = dict(batch)
+                b["id"] = (batch["id"] + s.step.astype(jnp.int32)) % cfg.nfeat
+                s, m = step(s, m, b, key)
                 return (s, m), ()
             (s, m), _ = jax.lax.scan(body, (state, meters), None, length=n)
             return m["loss_last"]

@@ -12,6 +12,7 @@ Same methodology as bench.py: steps chained inside one jitted lax.scan
 host fetch as the barrier.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -29,6 +30,16 @@ from armnet_tpu.train.step import create_train_state
 BATCH = 4096
 LENS = (1, 11)
 REPS = 3
+
+# Criteo-geometry recipes (reference run.sh:17-19); gc_arm shares armnet's.
+CONFIGS = {
+    "armnet_1h": dict(model="armnet_1h", nfeat=2_100_000, nfield=39, nemb=10,
+                      h=128, mlp_nlayer=2, mlp_nhid=500, alpha=2.0),
+    "armnet": dict(model="armnet", nfeat=2_100_000, nfield=39, nemb=10,
+                   h=64, nattn_head=4, mlp_nlayer=2, mlp_nhid=500, alpha=2.0),
+    "gc_arm": dict(model="gc_arm", nfeat=2_100_000, nfield=39, nemb=10,
+                   h=64, nattn_head=4, mlp_nlayer=2, mlp_nhid=500, alpha=2.0),
+}
 
 
 def chain_time(make_body, carry0, get=lambda c: c[0]):
@@ -50,8 +61,10 @@ def chain_time(make_body, carry0, get=lambda c: c[0]):
 
 
 def main():
-    cfg = ModelConfig(model="armnet_1h", nfeat=2_100_000, nfield=39, nemb=10,
-                      h=128, mlp_nlayer=2, mlp_nhid=500, alpha=2.0)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="armnet_1h", choices=sorted(CONFIGS))
+    args = p.parse_args()
+    cfg = ModelConfig(**CONFIGS[args.model])
     model = create_model(cfg)
     rng = np.random.RandomState(0)
     batch = {
@@ -65,9 +78,14 @@ def main():
     key = jax.random.key(0)
 
     def feed(batch, scalar):
-        # data-dependency hook: fold a result scalar back into the input
+        # data-dependency hook: fold a result scalar back into the input.
+        # The ids must REALLY vary per step — `+ scalar*0` folds to a
+        # constant and XLA hoists the whole id-dependent prep (sort etc.)
+        # out of the scan (r3 protocol fix; see bench.py)
         b = dict(batch)
-        b["value"] = batch["value"] + scalar * 0.0
+        si = jnp.abs(scalar).astype(jnp.int32) % 97
+        b["id"] = (batch["id"] + si) % cfg.nfeat
+        b["value"] = batch["value"] + scalar * 1e-30
         return b
 
     def fwd_body():

@@ -109,7 +109,88 @@ bool parse_line(const char* p, const char* end, int64_t nfield, int32_t* ids,
 
 }  // namespace
 
+namespace {
+
+// Byte-range shard ownership: a line belongs to the shard whose [lo, hi)
+// contains the line's FIRST byte. Shard 0 starts at 0; any other shard
+// scans forward from `lo` to the first newline and owns what follows.
+// Splitting [0, filesize) into disjoint ranges therefore partitions the
+// rows exactly (each host parses ~1/P of the bytes; SURVEY.md §3.5).
+struct Range {
+  const char* begin;
+  const char* end;    // parse lines starting before this point
+  const char* hard;   // absolute end of mapping (a line may run past `end`)
+};
+
+Range shard_range(const Mapped& m, int64_t lo, int64_t hi) {
+  Range r;
+  const char* base = m.data;
+  const char* file_end = m.data + m.size;
+  if (lo < 0) lo = 0;
+  if (hi > static_cast<int64_t>(m.size)) hi = static_cast<int64_t>(m.size);
+  const char* p = base + lo;
+  if (lo > 0) {
+    const char* nl = static_cast<const char*>(
+        memchr(p - 1, '\n', static_cast<size_t>(file_end - (p - 1))));
+    // p-1: if the byte before lo is '\n', the line starting AT lo is ours
+    p = nl ? nl + 1 : file_end;
+  }
+  r.begin = p;
+  r.end = base + (hi < lo ? lo : hi);
+  r.hard = file_end;
+  return r;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Rows whose first byte lies in [lo, hi) — see shard_range above.
+int64_t libsvm_count_rows_range(const char* path, int64_t lo, int64_t hi) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  Range r = shard_range(m, lo, hi);
+  int64_t lines = 0;
+  const char* p = r.begin;
+  while (p < r.end) {
+    ++lines;
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(r.hard - p)));
+    if (!nl) break;
+    p = nl + 1;
+  }
+  unmap(m);
+  return lines;
+}
+
+int64_t libsvm_parse_range(const char* path, int64_t nfield, int64_t lo,
+                           int64_t hi, int32_t* ids, float* vals,
+                           float* labels, int64_t max_rows, int64_t* skipped) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  Range r = shard_range(m, lo, hi);
+  const char* p = r.begin;
+  int64_t rows = 0;
+  int64_t bad = 0;
+  while (p < r.end && rows < max_rows) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(r.hard - p)));
+    const char* line_end = nl ? nl : r.hard;
+    if (line_end > p) {
+      if (parse_line(p, line_end, nfield, ids + rows * nfield,
+                     vals + rows * nfield, labels + rows)) {
+        ++rows;
+      } else {
+        ++bad;
+      }
+    }
+    if (!nl) break;
+    p = nl + 1;
+  }
+  if (skipped) *skipped = bad;
+  unmap(m);
+  return rows;
+}
 
 int64_t libsvm_count_rows(const char* path) {
   Mapped m = map_file(path);

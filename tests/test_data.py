@@ -122,3 +122,76 @@ def test_batch_iterator_multihost_assembly_path(tmp_path):
         for k in want:
             assert got[k].sharding.is_equivalent_to(sh[k], got[k].ndim)
             np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+
+
+def _rand_libsvm(path, n, f, seed=0):
+    rng = np.random.RandomState(seed)
+    with open(path, "w") as fh:
+        for i in range(n):
+            pairs = " ".join(f"{rng.randint(0, 50)}:{rng.rand():.3f}"
+                             for _ in range(f))
+            fh.write(f"{rng.randint(0, 2)} {pairs}\n")
+
+
+@pytest.mark.parametrize("backend", ["native", "numpy_fast", "numpy_robust"])
+@pytest.mark.parametrize("nshards", [1, 3, 4])
+def test_sharded_parse_partitions_rows_exactly(tmp_path, backend, nshards):
+    """Byte-range shards must partition the rows: concatenating the per-shard
+    parses (in shard order) reproduces the whole-file parse, for the C++
+    parser and both numpy fallbacks (identical ownership rule)."""
+    from armnet_tpu.data.libsvm import (_parse_native, _parse_numpy_fast,
+                                        _parse_numpy_robust, shard_byte_range)
+
+    p = str(tmp_path / "tr.libsvm")
+    _rand_libsvm(p, n=103, f=4, seed=1)
+    full = parse_libsvm(p, 4, use_cache=False)
+    fn = {"native": _parse_native, "numpy_fast": _parse_numpy_fast,
+          "numpy_robust": _parse_numpy_robust}[backend]
+    parts = []
+    for i in range(nshards):
+        br = shard_byte_range(p, i, nshards)
+        out = fn(p, 4, br)
+        if out is None:
+            pytest.skip(f"{backend} unavailable")
+        parts.append(out)
+    for k in range(3):
+        got = np.concatenate([pt[k] for pt in parts])
+        np.testing.assert_allclose(got, full[k], rtol=1e-6)
+
+
+def test_sharded_parse_boundary_cases(tmp_path):
+    """Shard boundaries landing exactly on newlines, mid-line, and past the
+    final (newline-less) line must neither drop nor duplicate rows."""
+    from armnet_tpu.data.libsvm import shard_byte_range
+
+    p = str(tmp_path / "t.libsvm")
+    # no trailing newline on the last row
+    with open(p, "w") as fh:
+        fh.write("1 0:1 1:1\n0 2:1 3:1\n1 4:1 5:1")
+    full = parse_libsvm(p, 2, use_cache=False)
+    size = os.path.getsize(p)
+    for nshards in range(1, size + 1):
+        parts = [parse_libsvm(p, 2, use_cache=False,
+                              byte_range=shard_byte_range(p, i, nshards))
+                 for i in range(nshards)]
+        labels = np.concatenate([pt[2] for pt in parts])
+        np.testing.assert_allclose(labels, full[2],
+                                   err_msg=f"nshards={nshards}")
+
+
+def test_local_shard_batch_iterator(tmp_path):
+    """local_shard_total mode: a single process holding shard 0 of 1 yields
+    the same batches as the plain iterator, and the global batch count comes
+    from the GLOBAL row count."""
+    p = str(tmp_path / "tr.libsvm")
+    _rand_libsvm(p, n=10, f=3, seed=2)
+    full = LibsvmDataset(p, 3, use_cache=False)
+    shard = LibsvmDataset(p, 3, use_cache=False, shard=(0, 1))
+    assert len(shard) == len(full)
+    it = BatchIterator(shard, batch_size=4, shuffle=False, device_put=False,
+                       local_shard_total=len(full))
+    batches = list(it)
+    assert len(batches) == 3                       # ceil(10/4)
+    got = np.concatenate([b["id"] for b in batches])
+    keep = np.concatenate([b["mask"] for b in batches]) > 0
+    np.testing.assert_array_equal(got[keep], full.ids)

@@ -519,3 +519,173 @@ def test_hofm_numeric_parity_via_weight_transplant():
     with torch.no_grad():
         ref_logits = ref(tbatch).numpy()
     np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# r3 transplant coverage extension (VERDICT r2 weak #5): the remaining
+# subtle-transcription models — afm's attention MLP, kpnn's bilinear kernel,
+# gat's head-stacked scorer, gcn's einsum chain, dcn+'s cross/deep concat,
+# xdfm's linear+CIN+MLP sum — where sign/axis errors pass shape tests.
+# ---------------------------------------------------------------------------
+
+def _transplant_compare(name, seed, build_sd, cfg_kw=None, atol=1e-4,
+                        rtol=1e-4):
+    """Shared transplant harness: init ours, map params into the torch
+    reference via build_sd(params, t), compare eval-mode logits."""
+    import logging
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from models.model_utils import create_model as ref_create
+
+    cfg = CFG.replace(model=name, dropout=0.0, **(cfg_kw or {}))
+    ours = create_model(cfg)
+    batch = make_batch(bsz=32, nfield=cfg.nfield, nfeat=cfg.nfeat, seed=seed)
+    variables = ours.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    params = variables["params"]
+
+    plogger = logging.getLogger(f"parity_{name}")
+    plogger.addHandler(logging.NullHandler())
+    ref = ref_create(_ref_args(name, cfg), plogger)
+    ref.eval()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    sd = build_sd(params, t)
+    missing = set(k for k, _ in ref.state_dict().items()
+                  if "running" not in k and "num_batches" not in k) - set(sd)
+    assert not missing, f"unmapped reference params: {missing}"
+    ref.load_state_dict(sd, strict=False)
+
+    ours_logits = np.asarray(ours.apply(variables, batch, train=False))
+    tbatch = {"id": torch.tensor(np.asarray(batch["id"], np.int64)),
+              "value": torch.tensor(np.asarray(batch["value"]))}
+    with torch.no_grad():
+        ref_logits = ref(tbatch).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=atol, rtol=rtol)
+
+
+def _map_mlp(sd, prefix, m, t):
+    """Our MLP(nlayer=1) tree -> reference mlp.{0 Linear,1 BN,4 Linear}."""
+    sd[f"{prefix}.0.weight"] = t(m["TorchLinear_0"]["kernel"].T)
+    sd[f"{prefix}.0.bias"] = t(m["TorchLinear_0"]["bias"])
+    sd[f"{prefix}.1.weight"] = t(m["BatchNorm_0"]["BatchNorm_0"]["scale"])
+    sd[f"{prefix}.1.bias"] = t(m["BatchNorm_0"]["BatchNorm_0"]["bias"])
+    sd[f"{prefix}.4.weight"] = t(m["TorchLinear_1"]["kernel"].T)
+    sd[f"{prefix}.4.bias"] = t(m["TorchLinear_1"]["bias"])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_afm_numeric_parity_via_weight_transplant():
+    """AFM: relu->softmax attention over hadamard pairs + projection
+    (reference models/afm.py:5-48)."""
+    def build(params, t):
+        sd = {
+            "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+            "linear.weight.weight": t(params["linear"]["weight"]),
+            "linear.bias": t(params["linear"]["bias"]),
+        }
+        for k in ("attn_w", "attn_h", "attn_p"):
+            sd[f"afm.{k}.weight"] = t(params["afm"][k]["kernel"].T)
+            sd[f"afm.{k}.bias"] = t(params["afm"][k]["bias"])
+        return sd
+
+    _transplant_compare("afm", 21, build)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_kpnn_numeric_parity_via_weight_transplant():
+    """KPNN: learned [E, P, E] bilinear kernel per triu pair
+    (reference models/pnn.py:41-58)."""
+    def build(params, t):
+        sd = {
+            "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+            "pnn.kernel": t(params["kernel"]),
+        }
+        _map_mlp(sd, "mlp.mlp", params["mlp"], t)
+        return sd
+
+    _transplant_compare("kpnn", 22, build, cfg_kw={"mlp_nlayer": 1})
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_gat_numeric_parity_via_weight_transplant():
+    """GAT: our stacked-head einsum + split a_src/a_dst scorer vs the
+    reference's per-head loop over pair-concat Linears (models/gat.py:6-48,
+    incl. the multiplicative adj mask quirk)."""
+    def build(params, t):
+        sd = {"embedding.embedding.weight":
+              t(params["embedding"]["embedding"])}
+        nlayer = len([k for k in params if k.startswith("gat_")])
+        for l in range(nlayer):
+            W = params[f"gat_{l}"]["W"]                # [H, in, out]
+            a = params[f"gat_{l}"]["a"]                # [H, 2*out]
+            for h in range(W.shape[0]):
+                sd[f"gats.{l}.W.{h}"] = t(W[h])
+                sd[f"gats.{l}.a.{h}.weight"] = t(a[h][None, :])
+        _map_mlp(sd, "affine.mlp", params["affine"], t)
+        return sd
+
+    _transplant_compare("gat", 23, build, cfg_kw={"mlp_nlayer": 1},
+                        atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_gcn_numeric_parity_via_weight_transplant():
+    """GCN: per-forward symmetric adj normalization + einsum chain
+    (reference models/gcn.py:14-75)."""
+    def build(params, t):
+        sd = {"embedding.embedding.weight":
+              t(params["embedding"]["embedding"])}
+        nlayer = len([k for k in params if k.startswith("gcn_")])
+        for l in range(nlayer):
+            sd[f"gcns.{l}.weight"] = t(params[f"gcn_{l}"]["weight"])
+            sd[f"gcns.{l}.bias"] = t(params[f"gcn_{l}"]["bias"])
+        _map_mlp(sd, "affine.mlp", params["affine"], t)
+        return sd
+
+    _transplant_compare("gcn", 24, build, cfg_kw={"mlp_nlayer": 1})
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_dcn_plus_numeric_parity_via_weight_transplant():
+    """DCN+: cross layers x0*(w^T x)+b+x in parallel with an MLP whose final
+    width is mlp_nhid, concat -> unbiased linear (reference dcn.py:49-71)."""
+    def build(params, t):
+        sd = {"embedding.embedding.weight":
+              t(params["embedding"]["embedding"]),
+              "w.weight": t(params["w"]["kernel"].T)}
+        cn = params["cross_net"]
+        nl = len([k for k in cn if k.startswith("w_")])
+        for l in range(nl):
+            sd[f"cross_net.w.{l}.weight"] = t(cn[f"w_{l}"].T)
+            sd[f"cross_net.b.{l}"] = t(cn[f"b_{l}"])
+        _map_mlp(sd, "mlp.mlp", params["mlp"], t)
+        return sd
+
+    _transplant_compare("dcn+", 25, build, cfg_kw={"mlp_nlayer": 1})
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_xdfm_numeric_parity_via_weight_transplant():
+    """xDeepFM: linear + CIN + MLP sum (reference models/xdfm.py:58-80)."""
+    def build(params, t):
+        sd = {
+            "embedding.embedding.weight": t(params["embedding"]["embedding"]),
+            "linear.weight.weight": t(params["linear"]["weight"]),
+            "linear.bias": t(params["linear"]["bias"]),
+            "cin.affine.weight": t(params["cin"]["affine"]["kernel"].T),
+        }
+        ncin = len([k for k in params["cin"] if k.startswith("filter_")])
+        for k in range(ncin):
+            sd[f"cin.filters.{k}.weight"] = t(
+                params["cin"][f"filter_{k}"].T[..., None])
+        _map_mlp(sd, "mlp.mlp", params["mlp"], t)
+        return sd
+
+    _transplant_compare("xdfm", 26, build, cfg_kw={"mlp_nlayer": 1})
