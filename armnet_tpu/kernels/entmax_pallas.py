@@ -84,17 +84,18 @@ def _col_call(kernel, n_in, d, rows, dtype):
 
 
 def _fwd2d(x, alpha, n_iter):
-    rows, d = x.shape
+    # x is already [d, rows] — the kernel's native layout.
+    d, rows = x.shape
     call = _col_call(functools.partial(_fwd_kernel, alpha=alpha,
                                        n_iter=n_iter), 1, d, rows, x.dtype)
-    return call()(x.T).T
+    return call()(x)
 
 
 def _bwd2d(y, dy, alpha):
-    rows, d = y.shape
+    d, rows = y.shape
     call = _col_call(functools.partial(_bwd_kernel, alpha=alpha), 2, d, rows,
                      y.dtype)
-    return call()(y.T, dy.T).T
+    return call()(y, dy)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -131,10 +132,14 @@ def entmax_pallas(x, alpha=1.5, axis=-1, n_iter=50):
         raise ValueError("entmax_pallas requires alpha > 1 (use softmax at 1)")
     orig_dtype = x.dtype
     x = jnp.asarray(x, jnp.float32)
-    if axis not in (-1, x.ndim - 1):
-        x = jnp.moveaxis(x, axis, -1)
+    # The kernel's native layout is [d, rows] (normalized axis on sublanes).
+    # Move the normalized axis to the FRONT, never to the back: for the
+    # mid-axis case ([B, F, KO] gates from the multi-head ARM layout) this
+    # preserves the well-tiled minor dim through the relayout, while a
+    # moveaxis to -1 would materialize an F-minor tensor lane-padded
+    # 128/F (~3.3x at F=39) on both sides of the kernel.
+    x = jnp.moveaxis(x, axis, 0)
     shape = x.shape
-    y = _entmax2d(x.reshape(-1, shape[-1]), alpha, n_iter).reshape(shape)
-    if axis not in (-1, len(shape) - 1):
-        y = jnp.moveaxis(y, -1, axis)
+    y = _entmax2d(x.reshape(shape[0], -1), alpha, n_iter).reshape(shape)
+    y = jnp.moveaxis(y, 0, axis)
     return y.astype(orig_dtype)

@@ -11,14 +11,17 @@ import jax.numpy as jnp
 from armnet_tpu.models.common import VALUE_CLAMP, DeepEnsemble, split_batch, squeeze_logits
 from armnet_tpu.ops import initializers as init
 from armnet_tpu.ops.entmax import sparse_normalizer
-from armnet_tpu.ops.interaction import arm_attention_multihead, arm_exp_cross
+from armnet_tpu.ops.interaction import arm_attention_multihead, arm_exp_cross_fmajor
 from armnet_tpu.ops.layers import MLP, BatchNorm, Embedding
 
 
 class SparseAttLayer(nn.Module):
     """Multi-head sparse attention producing per-(head, neuron) signed
-    field-weight vectors [B, K, O, F]. Params (all xavier gain 1.414):
-    bilinear_w [K,E,dk], query [K,O,dk], values [K,O,F]."""
+    field-weight vectors in the TPU-friendly fields-major layout [B, F, K*O]
+    (math parity with the reference's [B,K,O,F]; the K*O channel axis stays
+    lane-minor end-to-end — see ops.interaction.arm_attention_multihead).
+    Params (all xavier gain 1.414): bilinear_w [K,E,dk], query [K,O,dk],
+    values [K,O,F]."""
 
     nhead: int
     nfield: int
@@ -36,7 +39,7 @@ class SparseAttLayer(nn.Module):
             "query", init.xavier_uniform(1.414), (self.nhead, self.nhid, self.d_k))
         values = self.param(
             "values", init.xavier_uniform(1.414), (self.nhead, self.nhid, self.nfield))
-        normalizer = sparse_normalizer(self.alpha)
+        normalizer = sparse_normalizer(self.alpha, axis=1)  # over fields
         return arm_attention_multihead(x, bilinear_w, query, values, normalizer)
 
 
@@ -68,9 +71,8 @@ class ARMNet(nn.Module):
         emb = Embedding(self.nfeat, self.nemb, name="embedding")(ids, values)
         arm_weight = SparseAttLayer(
             self.nhead, self.nfield, self.nemb, self.nemb, self.nhid,
-            self.alpha, name="attn_layer")(emb)                 # [B,K,O,F]
-        x = arm_exp_cross(emb, arm_weight)                      # [B,K,O,E]
-        x = x.reshape(x.shape[0], self.nhead * self.nhid, self.nemb)
+            self.alpha, name="attn_layer")(emb)                 # [B,F,K*O]
+        x = arm_exp_cross_fmajor(emb, arm_weight)               # [B,K*O,E]
         x = BatchNorm(channel_axis=1, name="arm_bn")(x, train)  # per (k,o) channel
         x = x.reshape(x.shape[0], -1)
 

@@ -11,11 +11,16 @@ import jax.numpy as jnp
 from armnet_tpu.models.common import VALUE_CLAMP, DeepEnsemble, split_batch, squeeze_logits
 from armnet_tpu.ops import initializers as init
 from armnet_tpu.ops.entmax import sparse_normalizer
+from armnet_tpu.ops.interaction import mh_gate_proj
 from armnet_tpu.ops.layers import MLP, BatchNorm, Embedding
 
 
 class GCSparseAttLayer(nn.Module):
-    """Sparse attention with global context. Note: no d_k^-0.5 scale here
+    """Sparse attention with global context, in the fields-major [B, F, K*O]
+    layout (math parity with the reference's [B,K,O,F] gates at
+    /root/reference/models/gc_arm.py:20-37; the bilinear+query factors fold
+    into one [K*O, E] projection so the K*O channel axis stays lane-minor —
+    see ops.interaction.mh_gate_proj). Note: no d_k^-0.5 scale here
     (parity with the reference gc_arm gates)."""
 
     nhead: int
@@ -33,13 +38,15 @@ class GCSparseAttLayer(nn.Module):
         values = self.param(
             "values", init.xavier_uniform(1.414), (self.nhead, self.nhid, self.nfield))
 
-        gates = jnp.einsum("bfx,kxy,koy->bkof", x, bilinear, query)   # [B,K,O,F]
+        m = mh_gate_proj(bilinear, query)                             # [K*O, E]
+        gates = jnp.einsum("bfx,ox->bfo", x, m)                       # [B,F,K*O]
         context = jnp.sum(x, axis=1)                                  # [B,E]
-        gctx = jnp.einsum("bx,kxy,koy->bko", context, bilinear, query)
-        gates = gates + gctx[..., None]
+        gctx = jnp.einsum("bx,ox->bo", context, m)                    # [B,K*O]
+        gates = gates + gctx[:, None, :]
 
-        sparse = sparse_normalizer(self.alpha)(gates)
-        return sparse * values[None]                                  # [B,K,O,F]
+        sparse = sparse_normalizer(self.alpha, axis=1)(gates)         # over fields
+        v_t = values.reshape(self.nhead * self.nhid, self.nfield).T   # [F, K*O]
+        return sparse * v_t[None]                                     # [B,F,K*O]
 
 
 class GCARM(nn.Module):
@@ -69,10 +76,9 @@ class GCARM(nn.Module):
         x_exp = BatchNorm(channel_axis=1, name="emb_bn")(jnp.exp(emb), train)
         arm_weights = GCSparseAttLayer(
             self.nhead, self.nfield, self.nemb, self.arm_hid, self.alpha,
-            name="attn_layers")(emb)                                  # [B,K,O,F]
+            name="attn_layers")(emb)                                  # [B,F,K*O]
 
-        arm = jnp.einsum("bfe,bkof->bkoe", x_exp, arm_weights)
-        arm = arm.reshape(arm.shape[0], self.nhead * self.arm_hid, self.nemb)
+        arm = jnp.einsum("bfe,bfc->bce", x_exp, arm_weights)          # [B,K*O,E]
         arm = BatchNorm(channel_axis=1, name="arm_bn")(arm, train)
         arm = arm.reshape(arm.shape[0], -1)
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "arm_attention_multihead", "arm_attention_1h", "arm_exp_cross",
+    "arm_exp_cross_fmajor", "mh_gate_proj",
     "arm1h_interaction", "anova_kernel", "cross_layer",
     "compressed_interaction_step",
 ]
@@ -50,16 +51,39 @@ def arm1h_interaction(emb, wk, query, values, alpha, n_iter=50):
     return arm_exp_cross(emb, w)
 
 
-def arm_attention_multihead(emb, bilinear_w, query, values, normalizer):
-    """Multi-head sparse gates: [B,F,E] x [K,E,dk] x [K,O,dk] -> [B,K,O,F].
+def mh_gate_proj(bilinear_w, query):
+    """Fold the bilinear+query factors into one gate projection [K*O, E].
 
-    Returns entmax-sparsified gates scaled by the learned `values` exponents.
+    m[k,o,x] = sum_y bilinear_w[k,x,y] * query[k,o,y] — the tiny GEMM XLA's
+    einsum optimizer already factors out; doing it explicitly lets the big
+    contraction emit gates in the [B, F, K*O] layout (KO minor: dense lanes)
+    instead of [B,K,O,F], whose F-minor materializations are lane-padded
+    128/F (~3.3x at F=39) and require a [K,O,B,F]->[B,K,O,F] transpose.
+    """
+    nhead, nemb, _ = bilinear_w.shape
+    nhid = query.shape[1]
+    m = jnp.einsum("kxy,koy->kox", bilinear_w, query)
+    return m.reshape(nhead * nhid, nemb)
+
+
+def arm_attention_multihead(emb, bilinear_w, query, values, normalizer):
+    """Multi-head sparse field weights in the TPU-friendly [B, F, K*O] layout.
+
+    Math parity with the reference [B,K,O,F] pipeline
+    (/root/reference/models/armnet.py:26-36): gates are the same bilinear
+    scores (bitwise — XLA factored the 3-operand einsum into the same m
+    product), entmax normalizes over the field axis (here axis=1), and
+    `values` scales per (head, neuron, field). Only the memory layout
+    differs: KO stays minor end-to-end, so no F-minor (lane-padded) tensor
+    is ever materialized. `normalizer` must normalize axis=1.
     """
     d_k = bilinear_w.shape[-1]
-    gates = jnp.einsum("bfx,kxy,koy->bkof", emb, bilinear_w, query)
-    gates = gates * (d_k ** -0.5)
-    sparse = normalizer(gates)                     # entmax over the field axis
-    return sparse * values[None]                   # [B,K,O,F]
+    m = mh_gate_proj(bilinear_w, query)
+    gates = jnp.einsum("bfx,ox->bfo", emb, m) * (d_k ** -0.5)  # [B,F,KO]
+    sparse = normalizer(gates)                    # entmax over fields (axis 1)
+    nhead, nhid, nfield = values.shape
+    v_t = values.reshape(nhead * nhid, nfield).T  # [F, KO]
+    return sparse * v_t[None]                     # [B, F, KO]
 
 
 def arm_attention_1h(keys, query, values, normalizer):
@@ -82,6 +106,15 @@ def arm_exp_cross(emb, weight):
         z = jnp.einsum("bfe,bkof->bkoe", emb, weight)
     else:
         raise ValueError(f"unsupported weight rank {weight.ndim}")
+    return jnp.exp(z)
+
+
+def arm_exp_cross_fmajor(emb, weight):
+    """Exponential neurons with fields-major weights: the [B, F, C] twin of
+    arm_exp_cross (C = flattened head*neuron channels, kept lane-minor by the
+    multi-head pipeline). emb [B,F,E], weight [B,F,C] -> [B,C,E]; identical
+    math to arm_exp_cross on weight.transpose(0,2,1).reshape(B,K,O,F)."""
+    z = jnp.einsum("bfe,bfc->bce", emb, weight)
     return jnp.exp(z)
 
 

@@ -133,6 +133,32 @@ def main():
         gr = jax.grad(f, argnums=(0, 1, 2, 3))(emb, bw0, q0, v0)
         return probe(s, gr[0]) + probe(s, gr[3])
 
+    def gates_fac_fwd(s):
+        # factored: m[k,o,x] = W[k] @ q[k,o]  (tiny), then ONE GEMM
+        # [B*F,E]@[E,K*O] — algebraically identical to gates_fwd
+        emb = dyn(s, emb0)
+        m = jnp.einsum("kxy,koy->kox", bw0, q0)
+        g = jnp.einsum("bfx,kox->bkof", emb, m) * (E ** -0.5)
+        return probe(s, g)
+
+    def gates_fac_bwd(s):
+        emb = dyn(s, emb0)
+
+        def f(emb, bw, q):
+            m = jnp.einsum("kxy,koy->kox", bw, q)
+            g = jnp.einsum("bfx,kox->bkof", emb, m) * (E ** -0.5)
+            return jnp.sum(g * gates0)
+        gr = jax.grad(f, argnums=(0, 1, 2))(emb, bw0, q0)
+        return probe(s, gr[0]) + probe(s, gr[1])
+
+    def gates_fac_bfo_fwd(s):
+        # factored + [B,F,KO] output layout (no minor-dim transpose after
+        # the GEMM); consumer would entmax over axis=1
+        emb = dyn(s, emb0)
+        m = jnp.einsum("kxy,koy->kox", bw0, q0).reshape(K * O, E)
+        g = jnp.einsum("bfx,ox->bfo", emb, m) * (E ** -0.5)
+        return probe(s, g)
+
     def transpose_fwd(s):
         g = dyn(s, gates0).reshape(-1, F)
         t = jax.lax.optimization_barrier(g.T)
@@ -148,6 +174,9 @@ def main():
         ("wcross_bwd", wcross_bwd),
         ("interaction_fwd", interaction_fwd),
         ("interaction_bwd", interaction_bwd),
+        ("gates_fac_fwd", gates_fac_fwd),
+        ("gates_fac_bwd", gates_fac_bwd),
+        ("gates_fac_bfo_fwd", gates_fac_bfo_fwd),
         ("transpose", transpose_fwd),
     )
     only = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
