@@ -107,3 +107,37 @@ def test_mlp_zero_layers_degenerates_to_linear():
     # exactly one kernel param
     leaves = jax.tree.leaves(var["params"])
     assert len(leaves) == 2  # kernel + bias
+
+
+def test_multihead_fields_major_layout_matches_reference_math():
+    """The [B,F,K*O] fields-major multi-head pipeline (TPU layout, r3) must
+    be numerically identical to the reference-layout [B,K,O,F] math
+    (/root/reference/models/armnet.py:26-36): same bilinear gate scores,
+    entmax over fields, values scaling, and exp-cross."""
+    from armnet_tpu.ops.entmax import entmax_bisect
+    from armnet_tpu.ops.interaction import (arm_attention_multihead,
+                                            arm_exp_cross,
+                                            arm_exp_cross_fmajor)
+
+    rng = np.random.RandomState(7)
+    B, K, O, F, E, dk = 4, 3, 5, 7, 6, 6
+    emb = jnp.asarray(rng.randn(B, F, E), jnp.float32)
+    bw = jnp.asarray(rng.randn(K, E, dk) * 0.5, jnp.float32)
+    q = jnp.asarray(rng.randn(K, O, dk) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.randn(K, O, F) * 0.5, jnp.float32)
+    alpha = 1.5
+
+    # reference-layout pipeline
+    gates_ref = jnp.einsum("bfx,kxy,koy->bkof", emb, bw, q) * (dk ** -0.5)
+    w_ref = entmax_bisect(gates_ref, alpha, axis=-1) * v[None]   # [B,K,O,F]
+    out_ref = arm_exp_cross(emb, w_ref).reshape(B, K * O, E)
+
+    # fields-major pipeline (production path)
+    w_fm = arm_attention_multihead(
+        emb, bw, q, v, lambda g: entmax_bisect(g, alpha, axis=1))  # [B,F,KO]
+    np.testing.assert_allclose(
+        np.asarray(w_fm), np.asarray(w_ref).transpose(0, 3, 1, 2).reshape(B, F, K * O),
+        rtol=0, atol=2e-6)
+    out_fm = arm_exp_cross_fmajor(emb, w_fm)                       # [B,KO,E]
+    np.testing.assert_allclose(np.asarray(out_fm), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
