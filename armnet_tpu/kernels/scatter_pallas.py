@@ -290,6 +290,118 @@ def _table_grad_tpu_v4(g, flat_ids, nrows, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# v5: v4 with a TRANSPOSED [e, nrows] output.
+#
+# v4's [nrows, e] output block lives in the T(8,128) tiling: at e=10 the
+# minor dim pads to 128 lanes, so each of the ~1000 per-bucket output
+# writes moves 12.8x the logical bytes (~1 GB/step of write traffic for an
+# 84 MB gradient) — consistent with the r2 BUCKET sweep where HALVING the
+# dot work (BUCKET 2048 -> 1024) made the kernel SLOWER (more grid steps =
+# more padded output DMAs). v5 emits [e, BUCKET] blocks instead: BUCKET
+# rides the lane axis dense, e pads only 10 -> 16 sublanes (1.6x). Same
+# payload, same prep, same one-hot; the dot just swaps operand roles —
+# out2 [2e, BUCKET] = dot(g2 [2e, WIN], onehot [BUCKET, WIN]) contracting
+# both lane axes, the exact A.B^T orientation v1/v4 already lower fast
+# (only sublane-sublane contraction is the slow Mosaic form, see v2).
+# The flat row-major gradient then needs one XLA transpose+flatten on the
+# host side ([e, nrows] -> [nrows*e]) — measured against v4's padded
+# write + reshape before switching any default.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v5(starts_ref, payload_hbm, idrow_hbm, out_ref, pay_scr, id_scr,
+               sems, *, n, e):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
+    nchunks = (end - start + CHUNK - 1) // CHUNK
+    base = b * BUCKET
+    rows = lax.broadcasted_iota(jnp.int32, (BUCKET, WIN), 0)  # bucket slots
+
+    def body(j, acc):
+        off = start + j * CHUNK
+        off_c = jnp.minimum(off, n - WIN)
+        off_a = pl.multiple_of(off_c - lax.rem(off_c, ALIGN), ALIGN)
+        cp1 = pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off_a, WIN)], pay_scr, sems.at[0])
+        cp2 = pltpu.make_async_copy(
+            idrow_hbm.at[:, pl.ds(off_a, WIN)], id_scr, sems.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+        pos = off_a + lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        valid = (pos >= off) & (pos < jnp.minimum(off + CHUNK, end))
+        local = id_scr[0:1, :] - base                       # [1, WIN]
+
+        onehot = jnp.where((rows == local) & valid, 1.0, 0.0)
+        g2 = pay_scr[:2 * e, :].astype(jnp.float32)         # [2e, WIN]
+        dn = (((1,), (1,)), ((), ()))                       # [2e, BUCKET]
+        out2 = jax.lax.dot_general(g2, onehot, dn,
+                                   preferred_element_type=jnp.float32)
+        return acc + out2
+
+    acc = lax.fori_loop(0, nchunks, body,
+                        jnp.zeros((2 * e, BUCKET), jnp.float32))
+    out_ref[:] = (acc[:e] + acc[e:]).astype(out_ref.dtype)
+
+
+def _table_grad_tpu_v5(g, flat_ids, nrows, interpret=False):
+    """Transposed densify: returns the [e, nrows] gradient (see v5 note)."""
+    n, e = g.shape
+    assert nrows < 2 ** 24
+    assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
+    order, sid, starts = _sorted_prep(flat_ids, nrows, BUCKET)
+    nb = -(-nrows // BUCKET)
+    rp = nb * BUCKET
+
+    gf = g.astype(jnp.float32)
+    hi = lax.reduce_precision(gf, 8, 7)
+    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
+                            (gf - hi).astype(jnp.bfloat16)], axis=1)
+    payload = pair[order].T                    # [2e, N] bf16
+    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
+    if ep != 2 * e:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
+    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
+    if np_ != n:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
+    idrow = jnp.broadcast_to(
+        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
+        (8, np_))
+
+    # unlike v4's row-blocked output, the lane axis here is the TABLE axis:
+    # the final block would be ragged at nrows % BUCKET, so pad the lane dim
+    # to whole buckets and slice after (the pad is lanes, not 12.8x rows)
+    out_spec = pl.BlockSpec((e, BUCKET), lambda i, starts: (0, i),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # bf16 payload (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # id row (HBM)
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((ep, WIN), jnp.bfloat16),
+            pltpu.VMEM((8, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_v5, n=np_, e=e),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, rp), jnp.float32),
+        interpret=interpret,
+    )(starts, payload, idrow)
+    return out[:, :nrows]
+
+
+# ---------------------------------------------------------------------------
 # v2: grouped densify for FLAT-layout gradients.
 #
 # The v1 kernel's [nrows, e] output lives in XLA's T(8,128) tiling, where an
@@ -651,6 +763,8 @@ def table_grad(g, flat_ids, nrows):
             and which != "xla"):
         if which == "v1":
             return _table_grad_tpu(g, flat_ids, nrows)
+        if which == "v5":
+            return _table_grad_tpu_v5(g, flat_ids, nrows).T
         return _table_grad_tpu_v4(g, flat_ids, nrows)
     return table_grad_reference(g, flat_ids, nrows)
 
@@ -662,8 +776,11 @@ def table_grad_flat(g, flat_ids, nrows):
     Dispatch: v4 (v1's layout with a bf16 hi|residual payload and a
     separate id row — bitwise-identical numerics, ~3% faster step) is the
     production default, by A/B measurement. ARMNET_SCATTER={v1,v2,v3,v4,
-    xla} overrides: v1 is the f32-payload original; v2/v3 are the
-    digit-factorized exact-tiled-output kernels kept as testbeds — v3
+    v5,xla} overrides: v1 is the f32-payload original; v5 is v4 with a
+    transposed [e, nrows] output (1.6x sublane pad instead of 12.8x lane
+    pad on every bucket write) plus one host-side transpose+flatten;
+    v2/v3 are the digit-factorized exact-tiled-output kernels kept as
+    testbeds — v3
     fixed v2's slow A^T B dot orientation and drops the host transpose,
     but its slot-expansion rhs build ([WIN, 2*k*e] mask+repeat per chunk)
     is VPU-bound and nets out SLOWER in the full train step (15.7 ms vs
@@ -682,5 +799,9 @@ def table_grad_flat(g, flat_ids, nrows):
             return _table_grad_tpu_v3(g, flat_ids, nrows)
         if which == "v1":
             return _table_grad_tpu(g, flat_ids, nrows).reshape(-1)
+        if which == "v5":
+            # [e, nrows] -> flat row-major: one transpose+flatten (XLA
+            # fuses the bucket-pad slice into the same copy)
+            return _table_grad_tpu_v5(g, flat_ids, nrows).T.reshape(-1)
         return _table_grad_tpu_v4(g, flat_ids, nrows).reshape(-1)
     return table_grad_reference(g, flat_ids, nrows).reshape(-1)

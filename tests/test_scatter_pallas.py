@@ -158,3 +158,36 @@ def test_v4_bf16_payload_kernel_parity(n, e, nrows):
     want = table_grad_reference(g, ids, nrows)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,e,nrows", [
+    (900, 10, 5003),       # duplicates + ragged rows (nrows % BUCKET != 0)
+    (37, 4, 3001),         # n < CHUNK padding path
+    (3000, 6, 4096),       # exact bucket multiple
+])
+def test_v5_transposed_output_kernel_parity(n, e, nrows):
+    """v5 (transposed [e, nrows] output blocks) vs plain scatter-add,
+    interpret mode — same bf16 hi|residual budget as v4, different output
+    layout (lane axis = table rows)."""
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v5
+
+    k = jax.random.split(jax.random.key(11), 2)
+    ids = jax.random.randint(k[0], (n,), 0, nrows, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+    got = _table_grad_tpu_v5(g, ids, nrows, interpret=True)
+    assert got.shape == (e, nrows)
+    want = table_grad_reference(g, ids, nrows)
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_v5_all_same_id():
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v5
+
+    n, e, nrows = 3000, 6, 4096
+    ids = jnp.full((n,), 1234, jnp.int32)
+    g = jnp.ones((n, e), jnp.float32)
+    got = _table_grad_tpu_v5(g, ids, nrows, interpret=True)
+    want = table_grad_reference(g, ids, nrows)
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
