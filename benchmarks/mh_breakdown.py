@@ -159,6 +159,28 @@ def main():
         g = jnp.einsum("bfx,ox->bfo", emb, m) * (E ** -0.5)
         return probe(s, g)
 
+    def interaction_fm_fwd(s):
+        # the r3 production pipeline: fields-major [B,F,K*O] end to end
+        from armnet_tpu.ops.interaction import (arm_attention_multihead,
+                                                arm_exp_cross_fmajor)
+        emb = dyn(s, emb0)
+        w = arm_attention_multihead(emb, bw0, q0, v0,
+                                    lambda g: entmax_pallas(g, 2.0, axis=1))
+        return probe(s, arm_exp_cross_fmajor(emb, w))
+
+    def interaction_fm_bwd(s):
+        from armnet_tpu.ops.interaction import (arm_attention_multihead,
+                                                arm_exp_cross_fmajor)
+        emb = dyn(s, emb0)
+
+        def f(emb, bw, q, v):
+            w = arm_attention_multihead(emb, bw, q, v,
+                                        lambda g: entmax_pallas(g, 2.0,
+                                                                axis=1))
+            return jnp.sum(arm_exp_cross_fmajor(emb, w))
+        gr = jax.grad(f, argnums=(0, 1, 2, 3))(emb, bw0, q0, v0)
+        return probe(s, gr[0]) + probe(s, gr[3])
+
     def transpose_fwd(s):
         g = dyn(s, gates0).reshape(-1, F)
         t = jax.lax.optimization_barrier(g.T)
@@ -177,6 +199,8 @@ def main():
         ("gates_fac_fwd", gates_fac_fwd),
         ("gates_fac_bwd", gates_fac_bwd),
         ("gates_fac_bfo_fwd", gates_fac_bfo_fwd),
+        ("interaction_fm_fwd", interaction_fm_fwd),
+        ("interaction_fm_bwd", interaction_fm_bwd),
         ("transpose", transpose_fwd),
     )
     only = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
