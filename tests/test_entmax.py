@@ -136,3 +136,38 @@ def test_parity_with_reference_entmax(alpha):
 
     gj = np.asarray(pullback(jnp.asarray(x)))
     np.testing.assert_allclose(gj, xt.grad.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("alpha", [1.3, 1.7, 1.95, 2.5])
+def test_fastpow_solver_matches_reference_bisection(alpha, monkeypatch):
+    """The experimental bit-trick-warmup solver (ARMNET_ENTMAX_SOLVER=
+    fastpow) must match the 50-iteration reference bisection to f32
+    tolerance on adversarial inputs (ties, spikes, sorted kinks); at
+    alpha > 2 it must fall back to the standard warmup."""
+    from armnet_tpu.kernels import entmax_common
+    from armnet_tpu.ops.entmax import _entmax_forward
+
+    monkeypatch.setattr(entmax_common, "SOLVER", "fastpow")
+    rng = np.random.RandomState(3)
+    cases = [
+        rng.randn(13, 257).astype(np.float32) * 2,
+        np.repeat(rng.randn(1, 257).astype(np.float32), 13, 0)
+        + 1e-6 * rng.randn(13, 257).astype(np.float32),
+        np.where(rng.rand(13, 257) < 0.05, 10.0, -10.0).astype(np.float32),
+        np.sort(rng.randn(13, 257).astype(np.float32), 0),
+    ]
+    for x in cases:
+        x = jnp.asarray(x)
+        got = entmax_common.solve_entmax_axis0(x, alpha)
+        if alpha > 2.0:
+            # fastpow falls back to the standard warmup there; match IT
+            # bitwise (the (8,6) budget itself carries ~5e-4 on adversarial
+            # inputs at alpha>2 — outside the ARM domain, pre-existing)
+            monkeypatch.setattr(entmax_common, "SOLVER", "newton")
+            want = entmax_common.solve_entmax_axis0(x, alpha)
+            monkeypatch.setattr(entmax_common, "SOLVER", "fastpow")
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        else:
+            want = _entmax_forward(x.T, alpha, 50).T
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-6, rtol=0)
