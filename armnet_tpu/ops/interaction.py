@@ -15,6 +15,8 @@ variant lives in armnet_tpu/kernels/arm_pallas.py and is numerically
 interchangeable (tested against these twins).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +48,18 @@ def arm1h_interaction(emb, wk, query, values, alpha, n_iter=50):
     from armnet_tpu.ops.entmax import sparse_normalizer
 
     keys = jnp.einsum("bfe,ed->bfd", emb, wk.astype(emb.dtype))
+    if os.environ.get("ARMNET_ARM1H_LAYOUT", "bof") == "fmajor":
+        # Fields-major twin of the chain below (same trick as the
+        # multi-head path): gates/sparse weights stay [B, F, O] with O
+        # lane-minor (O=128 at the flagship recipe - dense tiles), entmax
+        # normalizes the middle field axis through the kernel's leading-
+        # axis entry, and the exp-cross contracts fields directly. The
+        # [B, O, F] layout materializes F-minor tensors lane-padded
+        # 128/F (~3.3x at F=39) on both sides of the entmax kernel.
+        d_k = query.shape[-1]
+        gates = jnp.einsum("bfd,od->bfo", keys, query) * (d_k ** -0.5)
+        sparse = sparse_normalizer(alpha, axis=1, n_iter=n_iter)(gates)
+        return arm_exp_cross_fmajor(emb, sparse * values.T[None])
     w = arm_attention_1h(keys, query, values,
                          sparse_normalizer(alpha, n_iter=n_iter))
     return arm_exp_cross(emb, w)
