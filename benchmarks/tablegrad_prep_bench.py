@@ -158,6 +158,15 @@ def main():
         out = table_grad(g, ids, NROWS)
         return probe(s, out)
 
+    def kernel_flat_body(s):
+        # the production path (flat-stored tables): honors ARMNET_SCATTER,
+        # so ARMNET_SCATTER=v5 measures the transposed-output kernel plus
+        # its .T.reshape(-1) against v4 plus its .reshape(-1)
+        from armnet_tpu.kernels.scatter_pallas import table_grad_flat
+        ids, g = dyn(s)
+        out = jax.lax.optimization_barrier(table_grad_flat(g, ids, NROWS))
+        return probe(s, out)
+
     def reshape_tax_body(s):
         ids, g = dyn(s)
         out = table_grad(g, ids, NROWS)
@@ -194,6 +203,7 @@ def main():
         ("idrow", idrow_body),
         ("idcol", idcol_body),
         ("kernel_v4", kernel_v4_body),
+        ("kernel_flat", kernel_flat_body),
         ("reshape_tax", reshape_tax_body),
         ("transposeT", transposeT_body),
     )
