@@ -63,3 +63,45 @@ def test_static_alpha_jnp_path_matches_traced():
 def test_entmax_pallas_rejects_alpha_le_one():
     with pytest.raises(ValueError):
         entmax_pallas(rand((4, 4)), alpha=1.0)
+
+
+@pytest.mark.parametrize("shape,alpha", [
+    ((8, 13, 256), 1.5),      # BB=8, LB=256 (multi-head gate geometry)
+    ((6, 39, 128), 2.0),      # BB=2, LB=128
+    ((4, 7, 384), 1.7),       # C=384 -> LB=128, BB=4
+])
+def test_entmax_mid_axis_path_matches_jnp(shape, alpha):
+    """The zero-relayout 3-D mid-axis entry ([BB, d, LB] blocks) must match
+    the jnp twin on axis=1, forward and VJP."""
+    from armnet_tpu.kernels.entmax_pallas import _mid_blocks
+
+    assert _mid_blocks(shape[0], shape[2]) is not None
+    x = rand(shape, seed=5)
+    with pltpu.force_tpu_interpret_mode():
+        yk = entmax_pallas(x, alpha=alpha, axis=1)
+    yr = entmax_bisect(jnp.moveaxis(x, 1, -1), alpha=float(alpha))
+    np.testing.assert_allclose(np.asarray(yk),
+                               np.asarray(jnp.moveaxis(yr, -1, 1)),
+                               atol=5e-6)
+
+    g = rand(shape, seed=6, scale=1.0)
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp_k = jax.vjp(lambda v: entmax_pallas(v, alpha=alpha, axis=1), x)
+        dk = vjp_k(g)[0]
+    _, vjp_r = jax.vjp(
+        lambda v: jnp.moveaxis(
+            entmax_bisect(jnp.moveaxis(v, 1, -1), alpha=float(alpha)), -1, 1),
+        x)
+    dr = vjp_r(g)[0]
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dr), atol=2e-5)
+
+
+def test_entmax_mid_axis_fallback_on_unaligned_c():
+    """C not lane-aligned -> falls back to the moveaxis path, same result."""
+    x = rand((4, 9, 15), seed=7)
+    with pltpu.force_tpu_interpret_mode():
+        yk = entmax_pallas(x, alpha=1.5, axis=1)
+    yr = entmax_bisect(jnp.moveaxis(x, 1, -1), alpha=1.5)
+    np.testing.assert_allclose(np.asarray(yk),
+                               np.asarray(jnp.moveaxis(yr, -1, 1)),
+                               atol=5e-6)
