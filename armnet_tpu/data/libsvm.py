@@ -349,6 +349,20 @@ class BatchIterator:
             if self.sharding is not None:
                 lo, hi = _process_local_rows(self.bsz)
                 step = hi - lo           # local rows contributed per batch
+
+        import jax
+
+        if (os.environ.get("ARMNET_PREFETCH_THREAD", "1") == "1"
+                and jax.process_count() == 1):
+            # Background-thread prefetch (depth 2): the numpy row gather
+            # (~1.3 MB of fancy-indexing per Criteo batch) runs while the
+            # device executes the previous step — numpy releases the GIL
+            # for the gathers, so this overlaps even on a single host
+            # core. Multi-process runs keep the serial path: assembly
+            # order is part of the cross-process contract
+            # (make_array_from_process_local_data on every process).
+            yield from self._iter_threaded(order, nb, step)
+            return
         # one-batch lookahead: device_put of batch k+1 overlaps step k
         pending = None
         for b in range(nb):
@@ -359,6 +373,44 @@ class BatchIterator:
             pending = nxt
         if pending is not None:
             yield pending
+
+    def _iter_threaded(self, order, nb, step):
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[b * step:(b + 1) * step]
+                    q.put(self._make(idx))
+                q.put(None)                      # end-of-epoch sentinel
+            except BaseException as e:           # surfaced on the main thread
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # unblock a worker stuck on a full queue, then reap it
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
 
 
 def make_dataloaders(dataset, data_dir, nfield, batch_size, seed=0,
