@@ -1,0 +1,66 @@
+#!/bin/bash
+# Round-3 TPU measurement campaign: run every pending A/B sequentially,
+# ONE device process at a time (the tunneled backend wedges under
+# concurrent clients), each stage logged and failure-tolerant so a flaky
+# tunnel loses one stage, not the campaign.
+#
+#   bash benchmarks/r3_campaign.sh [results_dir]
+#
+# Stages:
+#   00 health probe (absorbs the post-wedge first-contact stall)
+#   01 bench.py baseline (v4 kernel, current defaults)
+#   02 bench.py ARMNET_ARM1H_LAYOUT=fmajor          (1h fields-major A/B)
+#   03 bench.py ARMNET_SCATTER=v5                   (transposed-output A/B)
+#   04 bench.py fmajor + v5 combined
+#   05 tablegrad_prep_bench kernel_flat v4 vs v5
+#   06 mh_breakdown (old-layout stages + fields-major pipeline stages)
+#   07 recipes --only mh+gc_arm (fields-major restructure step-level win)
+#   08 recipes a1.7 default vs ARMNET_ENTMAX_SOLVER=fastpow
+#   09 full recipes table with winning defaults -> recipes_r3.json
+#   10 full recipes table --bf16 -> recipes_r3_bf16.json
+# After the campaign: read the log, pick winners, flip defaults, update
+# BENCH_NOTES.md / README.md, re-run bench.py once for the final headline.
+
+set -u
+RES="${1:-benchmarks/results}"
+mkdir -p "$RES"
+LOG="$RES/r3_campaign.log"
+cd "$(dirname "$0")/.."
+
+stage() {  # stage <name> <timeout_s> <cmd...>
+  local name="$1" to="$2"; shift 2
+  echo "=== [$name] $(date -u +%H:%M:%S) $*" | tee -a "$LOG"
+  timeout "$to" env ${ENV_EXTRA[@]+"${ENV_EXTRA[@]}"} "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "=== [$name] rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG"
+  return 0
+}
+
+ENV_EXTRA=()
+stage 00_probe 600 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print('health', float(jnp.sum(jnp.ones((8,128)))))"
+grep -q "health" "$LOG" || { echo "TPU unreachable — abort" | tee -a "$LOG"; exit 1; }
+
+stage 01_base 900 python bench.py
+ENV_EXTRA=(ARMNET_ARM1H_LAYOUT=fmajor)
+stage 02_fmajor 900 python bench.py
+ENV_EXTRA=(ARMNET_SCATTER=v5)
+stage 03_v5 900 python bench.py
+ENV_EXTRA=(ARMNET_ARM1H_LAYOUT=fmajor ARMNET_SCATTER=v5)
+stage 04_fmajor_v5 900 python bench.py
+
+ENV_EXTRA=()
+stage 05a_tg_v4 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
+ENV_EXTRA=(ARMNET_SCATTER=v5)
+stage 05b_tg_v5 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
+
+ENV_EXTRA=()
+stage 06_mh_breakdown 1800 python -u benchmarks/mh_breakdown.py
+
+stage 07_mh_recipes 1200 python -u benchmarks/recipes.py --only armnet_mh_criteo_a2.0,gc_arm_criteo_a2.0
+
+stage 08a_a17_newton 900 python -u benchmarks/recipes.py --only armnet_1h_criteo_a1.7
+ENV_EXTRA=(ARMNET_ENTMAX_SOLVER=fastpow)
+stage 08b_a17_fastpow 900 python -u benchmarks/recipes.py --only armnet_1h_criteo_a1.7
+
+ENV_EXTRA=()
+echo "=== campaign phase 1 done $(date -u) — inspect $LOG, flip defaults, then run stages 09/10" | tee -a "$LOG"

@@ -105,7 +105,12 @@ def main():
                    help="first two recipes only")
     p.add_argument("--only", type=str, default=None,
                    help="comma-separated recipe tags")
+    p.add_argument("--bf16", action="store_true",
+                   help="bench with bfloat16 activations (--bf16 CLI parity)")
     args = p.parse_args()
+    if args.bf16:
+        from armnet_tpu.kernels.config import set_compute_dtype
+        set_compute_dtype("bfloat16")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cache_dir = os.path.join(repo, ".cache", "jax")
@@ -120,7 +125,8 @@ def main():
     if args.only:
         keep = set(args.only.split(","))
         todo = [(t, k) for t, k in RECIPES if t in keep]
-    rows = [bench_one(t, k) for t, k in todo]
+    sfx = "_bf16" if args.bf16 else ""
+    rows = [bench_one(t + sfx, k) for t, k in todo]
     print(json.dumps({"metric": "recipe_throughput_table", "rows": rows}))
 
 
