@@ -22,10 +22,10 @@
 # BENCH_NOTES.md / README.md, re-run bench.py once for the final headline.
 
 set -u
-RES="${1:-benchmarks/results}"
+cd "$(dirname "$0")/.."
+RES="$(readlink -f "${1:-benchmarks/results}")"
 mkdir -p "$RES"
 LOG="$RES/r3_campaign.log"
-cd "$(dirname "$0")/.."
 
 stage() {  # stage <name> <timeout_s> <cmd...>
   local name="$1" to="$2"; shift 2
@@ -55,6 +55,16 @@ stage 05b_tg_v5 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
 
 ENV_EXTRA=()
 stage 06_mh_breakdown 1800 python -u benchmarks/mh_breakdown.py
+
+# honest BEFORE for the fields-major restructure: the old [B,K,O,F] layout
+# under the varying-ids protocol only exists at 59b4f4e (protocol fix
+# landed, restructure not yet) — run its recipes from a detached worktree
+if [ ! -d /tmp/r3_before ]; then
+  git worktree add --detach /tmp/r3_before 59b4f4e >> "$LOG" 2>&1 || true
+fi
+if [ -d /tmp/r3_before ]; then
+  ( cd /tmp/r3_before && stage 07pre_mh_old_layout 1200 python -u benchmarks/recipes.py --only armnet_mh_criteo_a2.0,gc_arm_criteo_a2.0 )
+fi
 
 stage 07_mh_recipes 1200 python -u benchmarks/recipes.py --only armnet_mh_criteo_a2.0,gc_arm_criteo_a2.0
 
