@@ -56,7 +56,7 @@ stage 05b_tg_v5 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
 # v5's transposed output removes the padded-write tax that set the r1/r2
 # BUCKET=2048/CHUNK=256 optimum — with cheap writes, fewer/larger grid
 # steps should win. Sweep the grid under v5 only.
-for bc in 4096:256 8192:256 4096:512 8192:512 2048:512; do
+for bc in 4096:256 8192:256 4096:512 8192:512 2048:512 4096:1024 8192:1024; do
   ENV_EXTRA=(ARMNET_SCATTER=v5 ARMNET_SCATTER_BUCKET=${bc%:*} ARMNET_SCATTER_CHUNK=${bc#*:})
   stage "05c_v5_sweep_${bc%:*}_${bc#*:}" 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
 done
