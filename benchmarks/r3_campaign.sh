@@ -80,5 +80,10 @@ stage 08a_a17_newton 900 python -u benchmarks/recipes.py --only armnet_1h_criteo
 ENV_EXTRA=(ARMNET_ENTMAX_SOLVER=fastpow)
 stage 08b_a17_fastpow 900 python -u benchmarks/recipes.py --only armnet_1h_criteo_a1.7
 
+ENV_EXTRA=(ARMNET_PREFETCH_THREAD=0)
+stage 11a_train_noprefetch 1200 python -u train.py --model armnet_1h --alpha 2.0 --h 128 --lr 0.001 --epoch 3 --exp_name camp_noprefetch
+ENV_EXTRA=(ARMNET_PREFETCH_THREAD=1)
+stage 11b_train_prefetch 1200 python -u train.py --model armnet_1h --alpha 2.0 --h 128 --lr 0.001 --epoch 3 --exp_name camp_prefetch
+
 ENV_EXTRA=()
 echo "=== campaign phase 1 done $(date -u) — inspect $LOG, flip defaults, then run stages 09/10" | tee -a "$LOG"
