@@ -402,6 +402,155 @@ def _table_grad_tpu_v5(g, flat_ids, nrows, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# v6: v5 with G buckets per grid program and all chunk-0 DMAs issued
+# UP FRONT.
+#
+# The r3 roofline puts the v4 kernel 8.6x off its algorithmic floor with
+# the dots (~0.3 ms MXU) and writes (~0.16 ms HBM post-v5) both cheap —
+# the suspect is per-bucket fixed cost: ~1027 grid programs each paying a
+# serial start/wait round-trip for a ~20 KB window DMA (plus grid
+# bookkeeping). r2's double-buffer attempt attacked the wrong axis
+# (chunks WITHIN a bucket, where nchunks is usually 1, so the dummy-chunk
+# padding it needed cost more than it hid). v6 batches ACROSS buckets:
+# one program owns G consecutive buckets, issues all 2G chunk-0 copies
+# (payload + id row per bucket) before waiting on any, then walks the
+# buckets in order — bucket g's dot overlaps buckets g+1..G-1's DMAs, so
+# a program pays ~1 DMA latency instead of G. FLOPs are unchanged (one
+# [2e, WIN] x [BUCKET, WIN] dot per chunk — NOT the G-fold larger dot a
+# BUCKET*G sweep pays), the output block is [e, G*BUCKET] (same 1.6x
+# sublane pad as v5), and grid length drops G-fold. Multi-chunk buckets
+# (count > CHUNK) fall back to v5's serial DMA loop for chunks 1.. —
+# rare at Criteo shapes (mean bucket count ~156 < CHUNK).
+# ---------------------------------------------------------------------------
+
+G6 = int(os.environ.get("ARMNET_SCATTER_G", 8))  # buckets per grid program
+
+
+def _kernel_v6(starts_ref, payload_hbm, idrow_hbm, out_ref, pay_scr, id_scr,
+               sems, *, n, e, g_per):
+    pid = pl.program_id(0)
+    b0 = pid * g_per
+    rows = lax.broadcasted_iota(jnp.int32, (BUCKET, WIN), 0)  # bucket slots
+
+    def window_copies(g, off_a):
+        cp1 = pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off_a, WIN)], pay_scr.at[g],
+            sems.at[2 * g])
+        cp2 = pltpu.make_async_copy(
+            idrow_hbm.at[:, pl.ds(off_a, WIN)], id_scr.at[g],
+            sems.at[2 * g + 1])
+        return cp1, cp2
+
+    def aligned(off):
+        off_c = jnp.minimum(off, n - WIN)
+        return pl.multiple_of(off_c - lax.rem(off_c, ALIGN), ALIGN)
+
+    # phase 1: launch every bucket's chunk-0 window before waiting on any
+    inflight = []
+    for g in range(g_per):
+        off_a = aligned(starts_ref[b0 + g])
+        cp1, cp2 = window_copies(g, off_a)
+        cp1.start()
+        cp2.start()
+        inflight.append((cp1, cp2, off_a))
+
+    # phase 2: walk buckets in order; bucket g's densify overlaps the
+    # still-inflight copies of buckets g+1..
+    for g in range(g_per):
+        start = starts_ref[b0 + g]
+        end = starts_ref[b0 + g + 1]
+        base = (b0 + g) * BUCKET
+
+        def densify(off, off_a):
+            pos = off_a + lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+            valid = (pos >= off) & (pos < jnp.minimum(off + CHUNK, end))
+            local = id_scr[g, 0:1, :] - base                # [1, WIN]
+            onehot = jnp.where((rows == local) & valid, 1.0, 0.0)
+            g2 = pay_scr[g, :2 * e, :].astype(jnp.float32)  # [2e, WIN]
+            dn = (((1,), (1,)), ((), ()))                   # [2e, BUCKET]
+            return jax.lax.dot_general(g2, onehot, dn,
+                                       preferred_element_type=jnp.float32)
+
+        cp1, cp2, off_a0 = inflight[g]
+        cp1.wait()
+        cp2.wait()
+        acc = densify(start, off_a0)
+
+        # rare tail: buckets with more than CHUNK updates reuse slot g
+        # serially (its chunk-0 copy is done, the semaphores are free)
+        nchunks = (end - start + CHUNK - 1) // CHUNK
+
+        def body(j, acc):
+            off = start + j * CHUNK
+            off_a = aligned(off)
+            c1, c2 = window_copies(g, off_a)
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+            return acc + densify(off, off_a)
+
+        acc = lax.fori_loop(1, nchunks, body, acc)
+        out_ref[:, g * BUCKET:(g + 1) * BUCKET] = (
+            acc[:e] + acc[e:]).astype(out_ref.dtype)
+
+
+def _table_grad_tpu_v6(g, flat_ids, nrows, interpret=False):
+    """v6 grouped-DMA densify: returns the [e, nrows] gradient (see note)."""
+    n, e = g.shape
+    assert nrows < 2 ** 24
+    assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
+    g_per = G6
+    nb = -(-nrows // BUCKET)
+    ngroups = -(-nb // g_per)
+    rp = ngroups * g_per * BUCKET
+    # prep against the group-padded bucket count so starts has an entry for
+    # every bucket every program touches (padding buckets are empty ranges)
+    order, sid, starts = _sorted_prep(flat_ids, rp, BUCKET)
+
+    gf = g.astype(jnp.float32)
+    hi = lax.reduce_precision(gf, 8, 7)
+    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
+                            (gf - hi).astype(jnp.bfloat16)], axis=1)
+    payload = pair[order].T                    # [2e, N] bf16
+    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
+    if ep != 2 * e:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
+    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
+    if np_ != n:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
+    idrow = jnp.broadcast_to(
+        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
+        (8, np_))
+
+    out_spec = pl.BlockSpec((e, g_per * BUCKET), lambda i, starts: (0, i),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # bf16 payload (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # id row (HBM)
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((g_per, ep, WIN), jnp.bfloat16),
+            pltpu.VMEM((g_per, 8, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * g_per,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_v6, n=np_, e=e, g_per=g_per),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, rp), jnp.float32),
+        interpret=interpret,
+    )(starts, payload, idrow)
+    return out[:, :nrows]
+
+
+# ---------------------------------------------------------------------------
 # v2: grouped densify for FLAT-layout gradients.
 #
 # The v1 kernel's [nrows, e] output lives in XLA's T(8,128) tiling, where an
@@ -765,6 +914,8 @@ def table_grad(g, flat_ids, nrows):
             return _table_grad_tpu(g, flat_ids, nrows)
         if which == "v5":
             return _table_grad_tpu_v5(g, flat_ids, nrows).T
+        if which == "v6":
+            return _table_grad_tpu_v6(g, flat_ids, nrows).T
         return _table_grad_tpu_v4(g, flat_ids, nrows)
     return table_grad_reference(g, flat_ids, nrows)
 
@@ -803,5 +954,9 @@ def table_grad_flat(g, flat_ids, nrows):
             # [e, nrows] -> flat row-major: one transpose+flatten (XLA
             # fuses the bucket-pad slice into the same copy)
             return _table_grad_tpu_v5(g, flat_ids, nrows).T.reshape(-1)
+        if which == "v6":
+            # v5's transposed layout with G buckets per program and
+            # overlapped window DMAs (see v6 note)
+            return _table_grad_tpu_v6(g, flat_ids, nrows).T.reshape(-1)
         return _table_grad_tpu_v4(g, flat_ids, nrows).reshape(-1)
     return table_grad_reference(g, flat_ids, nrows).reshape(-1)

@@ -61,6 +61,15 @@ for bc in 4096:256 8192:256 4096:512 8192:512 2048:512 4096:1024 8192:1024; do
   stage "05c_v5_sweep_${bc%:*}_${bc#*:}" 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
 done
 
+# v6: G buckets per program, overlapped chunk-0 DMAs — attacks per-bucket
+# DMA latency directly (FLOPs unchanged vs v5 at the same BUCKET/CHUNK)
+for gv in 4 8 16; do
+  ENV_EXTRA=(ARMNET_SCATTER=v6 ARMNET_SCATTER_G=$gv)
+  stage "05d_v6_g${gv}" 900 python -u benchmarks/tablegrad_prep_bench.py kernel_flat
+done
+ENV_EXTRA=(ARMNET_SCATTER=v6)
+stage 05e_v6_step 900 python bench.py
+
 ENV_EXTRA=()
 stage 06_mh_breakdown 1800 python -u benchmarks/mh_breakdown.py
 

@@ -191,3 +191,40 @@ def test_v5_all_same_id():
     want = table_grad_reference(g, ids, nrows)
     np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
                                rtol=1e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,e,nrows", [
+    (900, 10, 5003),       # duplicates + ragged rows, nb not a G multiple
+    (37, 4, 3001),         # n < CHUNK padding path
+    (3000, 6, 4096),       # exact bucket multiple, nb < G (single program)
+    (5000, 10, 60000),     # several groups
+])
+def test_v6_grouped_dma_kernel_parity(n, e, nrows):
+    """v6 (G buckets per program, overlapped chunk-0 DMAs) vs plain
+    scatter-add, interpret mode — v5's output layout and numerics."""
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v6
+
+    k = jax.random.split(jax.random.key(13), 2)
+    ids = jax.random.randint(k[0], (n,), 0, nrows, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+    got = _table_grad_tpu_v6(g, ids, nrows, interpret=True)
+    assert got.shape == (e, nrows)
+    want = table_grad_reference(g, ids, nrows)
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_v6_multichunk_bucket():
+    """A bucket with far more than CHUNK updates exercises v6's serial
+    tail-chunk loop (chunks 1.. fall back to per-chunk DMAs)."""
+    from armnet_tpu.kernels.scatter_pallas import _table_grad_tpu_v6, CHUNK
+
+    n, e, nrows = 4 * CHUNK + 57, 6, 8192
+    k = jax.random.split(jax.random.key(7), 2)
+    # all ids land in bucket 0 -> nchunks = ceil(n/CHUNK) > 1
+    ids = jax.random.randint(k[0], (n,), 0, 100, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+    got = _table_grad_tpu_v6(g, ids, nrows, interpret=True)
+    want = table_grad_reference(g, ids, nrows)
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
