@@ -95,4 +95,26 @@ ENV_EXTRA=(ARMNET_PREFETCH_THREAD=1)
 stage 11b_train_prefetch 1200 python -u train.py --model armnet_1h --alpha 2.0 --h 128 --lr 0.001 --epoch 3 --exp_name camp_prefetch
 
 ENV_EXTRA=()
-echo "=== campaign phase 1 done $(date -u) — inspect $LOG, flip defaults, then run stages 09/10" | tee -a "$LOG"
+echo "=== campaign phase 1 done $(date -u) — inspect $LOG, flip defaults, then re-run 09/10" | tee -a "$LOG"
+
+# Fallback 09/10: run the full recipes table with CURRENT defaults so the
+# round always has a recipes_r3 artifact even if nobody is around to pick
+# winners; a post-flip re-run overwrites these.
+stage 09_recipes_full 3600 python -u benchmarks/recipes.py
+stage 10_recipes_bf16 3600 python -u benchmarks/recipes.py --bf16
+# the two FULL tables are the last two recipe_throughput_table lines in
+# the log (stages 07/08 emit --only subset tables earlier)
+python - "$LOG" "$RES" <<'PYEOF' || true
+import json, sys
+tables = []
+for line in open(sys.argv[1], errors="replace"):
+    line = line.strip()
+    if line.startswith("{") and "recipe_throughput_table" in line:
+        tables.append(json.loads(line))
+names = ["recipes_r3.json", "recipes_r3_bf16.json"]
+for obj, name in zip(tables[-2:] if len(tables) >= 2 else tables, names):
+    path = sys.argv[2] + "/" + name
+    json.dump(obj, open(path, "w"), indent=1)
+    print("wrote", path, len(obj.get("rows", [])), "rows")
+PYEOF
+echo "=== campaign ALL done $(date -u)" | tee -a "$LOG"
