@@ -349,6 +349,20 @@ class BatchIterator:
             if self.sharding is not None:
                 lo, hi = _process_local_rows(self.bsz)
                 step = hi - lo           # local rows contributed per batch
+            # byte-range shards are uneven: a shard with more rows than
+            # nb*step cannot contribute its surplus this epoch (batch
+            # geometry is fixed across processes). With shuffle the
+            # permutation rotates WHICH rows sit in the surplus each epoch,
+            # so all rows are seen across epochs; without shuffle the same
+            # tail rows are skipped every epoch — surface the count.
+            surplus = len(self.ds) - nb * step
+            if surplus > 0 and self.epoch == 1:  # epoch already bumped above
+                warnings.warn(
+                    f"local shard holds {surplus} more rows than the epoch's "
+                    f"{nb} global batches consume ({step}/process/batch); "
+                    f"{'a different ' if self.shuffle else 'the SAME '}"
+                    f"{surplus} rows are skipped each epoch "
+                    f"(shuffle={self.shuffle})")
 
         import jax
 
@@ -413,10 +427,30 @@ class BatchIterator:
             t.join(timeout=5)
 
 
+def _global_row_count(local_n):
+    """Sum of per-process shard row counts (the byte-range split partitions
+    the file's rows exactly, so the sum IS the file's row count) — one tiny
+    allgather at startup instead of every host parsing the whole file."""
+    import jax
+
+    if jax.process_count() == 1:
+        return int(local_n)
+    from jax.experimental import multihost_utils
+    counts = multihost_utils.process_allgather(np.asarray(local_n, np.int64))
+    return int(np.sum(counts))
+
+
 def make_dataloaders(dataset, data_dir, nfield, batch_size, seed=0,
-                     use_cache=True):
+                     use_cache=True, shard=None):
     """Resolve {data_dir}/{dataset}/tr*|va*|te*libsvm and build iterators
-    (train shuffled; val/test not — parity with data_loader.py:63-71)."""
+    (train shuffled; val/test not — parity with data_loader.py:63-71).
+
+    shard=(pid, nproc): multi-host mode — each process parses only its
+    byte-range shard of every split (replacing the reference's eager
+    whole-file load, data_loader.py:25-47, which a pod would repeat
+    per-host) and the iterators assemble global batches from the local
+    rows (local_shard_total = the allgathered global row count, so every
+    process agrees on the batch schedule)."""
     base = os.path.join(data_dir, dataset)
 
     def pick(prefix):
@@ -426,6 +460,18 @@ def make_dataloaders(dataset, data_dir, nfield, batch_size, seed=0,
                 f"no {prefix}*libsvm under {base} (expected the reference "
                 f"tr/va/te naming convention)")
         return matches[0]
+
+    if shard is not None and shard[1] > 1:
+        sets = [LibsvmDataset(pick(p), nfield, use_cache, shard=shard)
+                for p in ("tr", "va", "te")]
+        totals = [_global_row_count(len(s)) for s in sets]
+        train, val, test = sets
+        return (BatchIterator(train, batch_size, True, seed,
+                              local_shard_total=totals[0]),
+                BatchIterator(val, batch_size, False, seed,
+                              local_shard_total=totals[1]),
+                BatchIterator(test, batch_size, False, seed,
+                              local_shard_total=totals[2]))
 
     train = LibsvmDataset(pick("tr"), nfield, use_cache)
     val = LibsvmDataset(pick("va"), nfield, use_cache)

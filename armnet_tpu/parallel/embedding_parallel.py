@@ -54,7 +54,11 @@ def required_capacity_factor(ids_batches, nfeat, mesh, *, margin=1.25,
     M = mesh.shape[model_axis]
     D = mesh.shape.get(data_axis, 1)
     rows_per_shard = max(nfeat // M, 1)
-    worst, slice_n = 0, 1
+    # the required factor is per-batch: cap = int(cf * slice_n / M) must reach
+    # that batch's worst bucket count, so pair each worst with ITS slice_n
+    # (mixed-size ids_batches have different slice_n per batch) and max the
+    # resulting candidate factors, not the raw counts
+    need = 0.0
     for ids in ids_batches:
         ids = np.asarray(ids)
         b = ids.shape[0]
@@ -66,17 +70,21 @@ def required_capacity_factor(ids_batches, nfeat, mesh, *, margin=1.25,
                 continue
             slice_n = -(-n // M)
             padded = np.pad(local, (0, slice_n * M - n))
+            worst = 0
             for m in range(M):
                 sl = padded[m * slice_n:(m + 1) * slice_n]
                 real = (m * slice_n + np.arange(slice_n)) < n
                 owner = np.clip(sl // rows_per_shard, 0, M - 1)
                 cnt = np.bincount(owner[real], minlength=M)
                 worst = max(worst, int(cnt.max(initial=0)))
-    if worst <= 8:
-        return 1.0          # the lookup's capacity floor (8) already covers it
-    # +0.5 makes the int() in _a2a_capacity land EXACTLY on `worst` even at
-    # margin=1.0 (pure float worst*M/slice_n can floor to worst-1)
-    return float(margin * (worst + 0.5) * M / slice_n)
+            if worst > 8:   # <=8: the lookup's capacity floor already covers it
+                # +0.5 makes the int() in _a2a_capacity land EXACTLY on
+                # `worst` even at margin=1.0 (pure float worst*M/slice_n can
+                # floor to worst-1)
+                need = max(need, (worst + 0.5) * M / slice_n)
+    if need == 0.0:
+        return 1.0
+    return float(margin * need)
 
 
 def _a2a_capacity(slice_n, nshards, capacity_factor):

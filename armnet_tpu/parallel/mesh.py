@@ -58,11 +58,25 @@ def make_mesh(spec="", devices=None):
 
 def maybe_initialize_distributed():
     """Multi-host bring-up: call jax.distributed.initialize() when the runtime
-    environment advertises a coordinator (no-op on a single host)."""
+    environment advertises a coordinator (no-op on a single host).
+
+    jax.distributed.initialize resolves JAX_COORDINATOR_ADDRESS itself but
+    relies on cluster auto-detection (slurm / TPU pod metadata) for
+    num_processes / process_id — on plain hosts (and in the dryrun) those
+    arrive as JAX_NUM_PROCESSES / JAX_PROCESS_ID, so pass them explicitly
+    when present."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return False
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    else:   # pod environments: auto-detect the rest
+        jax.distributed.initialize(coordinator_address=addr)
+    return True

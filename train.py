@@ -21,6 +21,11 @@ def main():
     # JAX_PLATFORMS; honor an explicit cpu request (virtual-mesh runs)
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # multi-host bring-up BEFORE any device use: a coordinator address in the
+    # environment means we're one process of a pod run — join it, then shard
+    # the data pipeline per-process below
+    from armnet_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
     from armnet_tpu.kernels.config import (set_compute_dtype,
                                             set_kernel_backend)
     set_kernel_backend(args.kernels)
@@ -53,9 +58,14 @@ def main():
         args.nfield = train_loader.ds.nfield
         args.nfeat = max(args.nfeat, train_loader.ds.nfield)
     else:
+        # multi-process runs parse disjoint byte-range shards per host
+        # (replacing the reference's per-host whole-file load,
+        # data_loader.py:25-47) and assemble global batches from local rows
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
         train_loader, val_loader, test_loader = make_dataloaders(
             args.dataset, args.data_dir, args.nfield, args.batch_size,
-            seed=args.seed)
+            seed=args.seed, shard=shard)
 
     base_exp_name = args.exp_name
     results = []
