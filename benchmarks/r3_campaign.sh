@@ -16,8 +16,8 @@
 #   06 mh_breakdown (old-layout stages + fields-major pipeline stages)
 #   07 recipes --only mh+gc_arm (fields-major restructure step-level win)
 #   08 recipes a1.7 default vs ARMNET_ENTMAX_SOLVER=fastpow
-#   09 full recipes table with winning defaults -> recipes_r3.json
-#   10 full recipes table --bf16 -> recipes_r3_bf16.json
+#   09 full recipes table with winning defaults -> recipes_r4.json
+#   10 full recipes table --bf16 -> recipes_r4_bf16.json
 # After the campaign: read the log, pick winners, flip defaults, update
 # BENCH_NOTES.md / README.md, re-run bench.py once for the final headline.
 
@@ -111,7 +111,7 @@ for line in open(sys.argv[1], errors="replace"):
     line = line.strip()
     if line.startswith("{") and "recipe_throughput_table" in line:
         tables.append(json.loads(line))
-names = ["recipes_r3.json", "recipes_r3_bf16.json"]
+names = ["recipes_r4.json", "recipes_r4_bf16.json"]
 for obj, name in zip(tables[-2:] if len(tables) >= 2 else tables, names):
     path = sys.argv[2] + "/" + name
     json.dump(obj, open(path, "w"), indent=1)
