@@ -88,6 +88,14 @@ stage 07_mh_recipes 1200 python -u benchmarks/recipes.py --only armnet_mh_criteo
 stage 08a_a17_newton 900 python -u benchmarks/recipes.py --only armnet_1h_criteo_a1.7
 ENV_EXTRA=(ARMNET_ENTMAX_SOLVER=fastpow)
 stage 08b_a17_fastpow 900 python -u benchmarks/recipes.py --only armnet_1h_criteo_a1.7
+# budget sweep (VERDICT r4 #7): the (12,4) default was budgeted
+# analytically, not swept like r2's (8,6) Newton budget. Accuracy per
+# budget is established on CPU (benchmarks/fastpow_accuracy.py); this
+# sweeps the TPU throughput so the smallest-exact budget can be adopted.
+for fp in 8:2 10:3 12:4 14:5; do
+  ENV_EXTRA=(ARMNET_ENTMAX_SOLVER=fastpow ARMNET_ENTMAX_FAST=${fp%:*} ARMNET_ENTMAX_POLISH=${fp#*:})
+  stage "08c_fastpow_${fp%:*}_${fp#*:}" 900 python -u benchmarks/recipes.py --only armnet_1h_criteo_a1.7
+done
 
 ENV_EXTRA=(ARMNET_PREFETCH_THREAD=0)
 stage 11a_train_noprefetch 1200 python -u train.py --model armnet_1h --alpha 2.0 --h 128 --lr 0.001 --epoch 3 --exp_name camp_noprefetch
