@@ -195,3 +195,44 @@ def test_local_shard_batch_iterator(tmp_path):
     got = np.concatenate([b["id"] for b in batches])
     keep = np.concatenate([b["mask"] for b in batches]) > 0
     np.testing.assert_array_equal(got[keep], full.ids)
+
+
+def test_local_shard_surplus_rows_warn(tmp_path, recwarn):
+    """ADVICE r3: a shard holding more rows than the epoch's global batch
+    schedule consumes must surface the drop count (uneven byte-range
+    shards; shuffle=False skips the SAME rows every epoch)."""
+    import warnings
+
+    p = str(tmp_path / "tr.libsvm")
+    _rand_libsvm(p, n=10, f=3, seed=3)
+    ds = LibsvmDataset(p, 3, use_cache=False)
+    # pretend the global total is 8: nb=2 batches x step=4 -> 2 of the
+    # local 10 rows can never be yielded this epoch
+    it = BatchIterator(ds, batch_size=4, shuffle=False, device_put=False,
+                       local_shard_total=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert len(list(it)) == 2
+        assert any("2 more rows" in str(x.message) for x in w), (
+            [str(x.message) for x in w])
+        # second epoch: no repeat warning
+        assert len(list(it)) == 2
+        assert sum("more rows" in str(x.message) for x in w) == 1
+
+
+def test_make_dataloaders_shard_mode(tmp_path):
+    """make_dataloaders(shard=(0, 2)) on one process: loaders hold only the
+    byte-range shard but derive the batch schedule from the (here local ==
+    global under process_count 1) row count."""
+    from armnet_tpu.data.libsvm import make_dataloaders
+
+    base = tmp_path / "ds"
+    base.mkdir()
+    for prefix, n in (("tr", 12), ("va", 6), ("te", 6)):
+        _rand_libsvm(str(base / f"{prefix}.libsvm"), n=n, f=3, seed=n)
+    tr, va, te = make_dataloaders("ds", str(tmp_path), 3, 4,
+                                  use_cache=False, shard=(0, 2))
+    # each loader holds roughly half the rows
+    assert 0 < len(tr.ds) < 12 and 0 < len(va.ds) < 6
+    # single process: allgathered "global" count == local shard count
+    assert tr.local_shard_total == len(tr.ds)
