@@ -1,10 +1,10 @@
 #!/bin/bash
 # Retry the TPU health probe until the tunnel recovers, then run the full
-# measurement campaign. Designed for the wedged-tunnel failure mode
-# documented in BENCH_NOTES.md: killed clients stall the FIRST device op
-# of subsequent processes for minutes-to-indefinitely, so we probe with a
-# long timeout, ONE client at a time, and sleep between attempts to let
-# the tunnel drain.
+# measurement campaign. Wedged-tunnel failure mode (BENCH_NOTES.md): the
+# axon PJRT init hangs waiting for a pool grant when a previous client
+# died holding it; probes hang at jax.devices() (before first compute).
+# Strategy: LONG probes (1800s) so a server-side lease expiry can hand the
+# grant to the WAITING client, short sleeps between; one client at a time.
 #
 #   bash benchmarks/campaign_when_healthy.sh [results_dir]
 set -u
@@ -12,10 +12,10 @@ cd "$(dirname "$0")/.."
 RES="$(readlink -f "${1:-benchmarks/results}")"
 mkdir -p "$RES"
 WLOG="$RES/tunnel_watch.log"
-echo "=== watcher start $(date -u)" | tee -a "$WLOG"
-for attempt in $(seq 1 40); do
+echo "=== watcher(v2, long-probe) start $(date -u)" | tee -a "$WLOG"
+for attempt in $(seq 1 18); do
   echo "--- probe attempt $attempt $(date -u +%H:%M:%S)" | tee -a "$WLOG"
-  timeout 580 python -u -c "
+  timeout 1800 python -u -c "
 import jax, jax.numpy as jnp
 print('DEVICES:', jax.devices(), flush=True)
 print('HEALTH_OK', float(jnp.sum(jnp.ones((8,128)))), flush=True)
@@ -27,8 +27,8 @@ print('HEALTH_OK', float(jnp.sum(jnp.ones((8,128)))), flush=True)
     echo "=== campaign wrapper done $(date -u)" | tee -a "$WLOG"
     exit 0
   fi
-  echo "--- probe rc=$rc (unhealthy), sleeping 300s" | tee -a "$WLOG"
-  sleep 300
+  echo "--- probe rc=$rc (unhealthy), sleeping 60s" | tee -a "$WLOG"
+  sleep 60
 done
-echo "=== watcher giving up after 40 attempts $(date -u)" | tee -a "$WLOG"
+echo "=== watcher giving up after 18 attempts $(date -u)" | tee -a "$WLOG"
 exit 1
