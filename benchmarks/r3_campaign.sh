@@ -40,7 +40,7 @@ ENV_EXTRA=()
 stage 00_probe 600 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print('health', float(jnp.sum(jnp.ones((8,128)))))"
 grep -q "health" "$LOG" || { echo "TPU unreachable — abort" | tee -a "$LOG"; exit 1; }
 
-stage 01_base 900 python bench.py
+stage 01_base 1500 python bench.py
 ENV_EXTRA=(ARMNET_ARM1H_LAYOUT=fmajor)
 stage 02_fmajor 900 python bench.py
 ENV_EXTRA=(ARMNET_SCATTER=v5)
