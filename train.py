@@ -72,7 +72,11 @@ def main():
     for seed in range(args.seed, args.seed + args.repeat):
         seed_everything(seed)
         exp_name = f"{base_exp_name}_{seed}"
-        logger = get_logger(os.path.join(args.log_dir, exp_name, "stdout.log"),
+        # pod runs share log_dir on a networked fs: give each process its
+        # own log file (process 0 keeps the reference's stdout.log name)
+        log_name = ("stdout.log" if jax.process_index() == 0
+                    else f"stdout.p{jax.process_index()}.log")
+        logger = get_logger(os.path.join(args.log_dir, exp_name, log_name),
                             to_stdout=True, name=f"armnet_tpu.{exp_name}")
         logger.info(f"=> creating model {args.model}")
         logger.info(str(vars(args)))
@@ -92,7 +96,7 @@ def main():
         results.append((seed, best_valid, best_test))
         remove_logger(logger)
 
-    if len(results) > 1:
+    if len(results) > 1 and jax.process_index() == 0:
         import numpy as np
         valids = np.array([r[1] for r in results])
         tests = np.array([r[2] for r in results])
