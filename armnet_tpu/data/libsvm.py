@@ -354,9 +354,13 @@ class BatchIterator:
             # geometry is fixed across processes). With shuffle the
             # permutation rotates WHICH rows sit in the surplus each epoch,
             # so all rows are seen across epochs; without shuffle the same
-            # tail rows are skipped every epoch — surface the count.
+            # tail rows are skipped every epoch — surface the count. Warn
+            # once per iterator, NOT on a fixed epoch number: Trainer's
+            # init consumes one epoch before sharding (hence `step`) is
+            # final, so the first accurate surplus may be any epoch.
             surplus = len(self.ds) - nb * step
-            if surplus > 0 and self.epoch == 1:  # epoch already bumped above
+            if surplus > 0 and not getattr(self, "_surplus_warned", False):
+                self._surplus_warned = True
                 warnings.warn(
                     f"local shard holds {surplus} more rows than the epoch's "
                     f"{nb} global batches consume ({step}/process/batch); "

@@ -73,6 +73,14 @@ def maybe_initialize_distributed():
         return False
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    if (nproc is None) != (pid is None):
+        # fail loud: silently dropping the set half would send this process
+        # into cluster auto-detection with a wrong/absent identity while the
+        # other hosts block at the coordinator barrier
+        raise ValueError(
+            "set BOTH JAX_NUM_PROCESSES and JAX_PROCESS_ID (or neither, on "
+            f"auto-detecting pod environments); got num_processes={nproc!r} "
+            f"process_id={pid!r}")
     if nproc is not None and pid is not None:
         jax.distributed.initialize(coordinator_address=addr,
                                    num_processes=int(nproc),

@@ -74,6 +74,10 @@ def main():
     def run_one(solver, nf, npol):
         env = dict(os.environ, _FPACC_WORKER="1", JAX_PLATFORMS="cpu",
                    ARMNET_ENTMAX_SOLVER=solver,
+                   # pin the production newton budget so a caller's exported
+                   # experiment overrides can't silently degrade the baseline
+                   # the pass bar is computed from
+                   ARMNET_ENTMAX_BISECT="8", ARMNET_ENTMAX_NEWTON="6",
                    ARMNET_ENTMAX_FAST=str(nf), ARMNET_ENTMAX_POLISH=str(npol))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

@@ -24,6 +24,34 @@ import sys
 PORT = int(os.environ.get("ARMNET_MP_PORT", 59797))
 
 
+def _run_pair(cmds_envs, tag, timeout=540):
+    """Run two coupled processes; returns their outputs (or None on
+    timeout). Output goes to files, not PIPEs — two jax.distributed
+    processes block on each other's collectives, and a PIPE-buffer-full
+    writer on one side deadlocks a sequential communicate() on the other."""
+    procs, files = [], []
+    for i, (cmd, env, cwd) in enumerate(cmds_envs):
+        f = open(f"/tmp/armnet_mp_{tag}{i}.out", "w+b")
+        files.append(f)
+        procs.append(subprocess.Popen(cmd, env=env, cwd=cwd,
+                                      stdout=f, stderr=subprocess.STDOUT))
+    ok = True
+    for p in procs:
+        try:
+            p.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            ok = False
+            for q in procs:          # kill the exact children we started
+                if q.poll() is None:
+                    q.kill()
+    outs = []
+    for f in files:
+        f.seek(0)
+        outs.append(f.read().decode(errors="replace"))
+        f.close()
+    return procs, outs, ok
+
+
 def worker(pid):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -135,7 +163,7 @@ def cli_stage():
     _write_libsvm(os.path.join(ddir, "tr.libsvm"), 200, 6, 1024, 0)
     _write_libsvm(os.path.join(ddir, "va.libsvm"), 80, 6, 1024, 1)
     _write_libsvm(os.path.join(ddir, "te.libsvm"), 80, 6, 1024, 2)
-    procs = []
+    cmds = []
     for pid in (0, 1):
         env = dict(
             os.environ,
@@ -156,11 +184,9 @@ def cli_stage():
                "--embedding_capacity_factor", "-1",  # exercise auto-cap sync
                "--exp_name", "mpcli", "--log_dir",
                os.path.join(base, f"log{pid}")]
-        procs.append(subprocess.Popen(cmd, env=env, cwd=root,
-                                      stdout=subprocess.PIPE,
-                                      stderr=subprocess.STDOUT))
-    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
-    ok = all(p.returncode == 0 for p in procs) and all(
+        cmds.append((cmd, env, root))
+    procs, outs, alive_ok = _run_pair(cmds, "cli")
+    ok = alive_ok and all(p.returncode == 0 for p in procs) and all(
         "Total running time" in o for o in outs)
     # the auto-capacity agreement must have run on both processes
     ok = ok and all("global max across processes" in o for o in outs)
@@ -181,15 +207,14 @@ def main():
     nrows, nfield, nfeat = 200, 6, 1024
     data_path = "/tmp/armnet_mp_data.libsvm"
     _write_libsvm(data_path, nrows, nfield, nfeat, 0)
-    procs = []
+    cmds = []
     for pid in (0, 1):
         env = dict(os.environ, _ARMNET_MP_WORKER=str(pid),
                    _ARMNET_MP_ROWS=str(nrows), _ARMNET_MP_DATA=data_path)
-        procs.append(subprocess.Popen(
-            [sys.executable, "-u", os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
-    ok = all(p.returncode == 0 for p in procs) and all(
+        cmds.append(([sys.executable, "-u", os.path.abspath(__file__)],
+                     env, None))
+    procs, outs, alive_ok = _run_pair(cmds, "w")
+    ok = alive_ok and all(p.returncode == 0 for p in procs) and all(
         f"worker {i} OK" in outs[i] for i in (0, 1))
     for i, o in enumerate(outs):
         tail = [ln for ln in o.splitlines() if "OK" in ln or "Error" in ln]

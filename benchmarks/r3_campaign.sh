@@ -114,14 +114,19 @@ stage 10_recipes_bf16 3600 python -u benchmarks/recipes.py --bf16
 # the log (stages 07/08 emit --only subset tables earlier)
 python - "$LOG" "$RES" <<'PYEOF' || true
 import json, sys
-tables = []
+# route by the table's own flags: full (non-subset) tables only, split on
+# bf16 — earlier --only subset tables (07/08/08c) must never be promoted
+# to the full-table artifacts, and a failed stage 09 must not shift the
+# bf16 table into the default-table slot
 for line in open(sys.argv[1], errors="replace"):
     line = line.strip()
-    if line.startswith("{") and "recipe_throughput_table" in line:
-        tables.append(json.loads(line))
-names = ["recipes_r4.json", "recipes_r4_bf16.json"]
-for obj, name in zip(tables[-2:] if len(tables) >= 2 else tables, names):
-    path = sys.argv[2] + "/" + name
+    if not (line.startswith("{") and "recipe_throughput_table" in line):
+        continue
+    obj = json.loads(line)
+    if obj.get("subset", len(obj.get("rows", [])) < 4):
+        continue
+    name = "recipes_r4_bf16.json" if obj.get("bf16") else "recipes_r4.json"
+    path = sys.argv[2] + "/" + name      # later (post-flip) runs overwrite
     json.dump(obj, open(path, "w"), indent=1)
     print("wrote", path, len(obj.get("rows", [])), "rows")
 PYEOF

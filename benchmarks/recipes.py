@@ -127,7 +127,8 @@ def main():
         todo = [(t, k) for t, k in RECIPES if t in keep]
     sfx = "_bf16" if args.bf16 else ""
     rows = [bench_one(t + sfx, k) for t, k in todo]
-    print(json.dumps({"metric": "recipe_throughput_table", "rows": rows}))
+    print(json.dumps({"metric": "recipe_throughput_table", "bf16": args.bf16,
+                      "subset": bool(args.only), "rows": rows}))
 
 
 if __name__ == "__main__":
