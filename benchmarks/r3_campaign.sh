@@ -102,6 +102,13 @@ stage 11a_train_noprefetch 1200 python -u train.py --model armnet_1h --alpha 2.0
 ENV_EXTRA=(ARMNET_PREFETCH_THREAD=1)
 stage 11b_train_prefetch 1200 python -u train.py --model armnet_1h --alpha 2.0 --h 128 --lr 0.001 --epoch 3 --exp_name camp_prefetch
 
+# bf16 AUC delta (VERDICT r4 #5): identical recipe to the r2 3-seed f32
+# run (0.9474+-0.0004 valid / 0.9438+-0.0009 test) with --bf16
+ENV_EXTRA=()
+stage 12_bf16_3seed 3600 python -u train.py --model armnet_1h --alpha 2.0 \
+  --h 128 --nemb 10 --lr 0.001 --batch_size 4096 --epoch 50 --patience 3 \
+  --seed 2025 --repeat 3 --bf16 --exp_name frappe_r4_bf16_3seed
+
 ENV_EXTRA=()
 echo "=== campaign phase 1 done $(date -u) — inspect $LOG, flip defaults, then re-run 09/10" | tee -a "$LOG"
 
