@@ -93,13 +93,64 @@ def _a2a_capacity(slice_n, nshards, capacity_factor):
     return max(int(capacity_factor * slice_n / nshards), 8)
 
 
+def _wrap_ids(ids, nrows):
+    """jnp.take index-normalization parity: negative ids in [-nrows, 0)
+    wrap python-style; ids outside [-nrows, nrows) stay unowned (no shard
+    gathers them) and _oob_nan marks them."""
+    return jnp.where(ids < 0, ids + nrows, ids)
+
+
+def _oob_nan(out, ids, nrows):
+    """Out-of-range-id parity with the replicated path: jnp.take's default
+    fill mode yields NaN rows for ids outside [-nrows, nrows) (loud —
+    debug_nans catches dirty data), while the sharded gathers' no-owner
+    case would silently yield a ZERO row, so toggling --shard_embedding
+    would change model output."""
+    oob = (ids < -nrows) | (ids >= nrows)
+    return jnp.where(oob[..., None], jnp.nan, out)
+
+
+@jax.custom_vjp
+def _gather_rows(table_shard, idx):
+    """Per-shard row gather whose TRANSPOSE is the bucketed densify kernel
+    (kernels/scatter_pallas.table_grad) instead of XLA's serialized
+    duplicate-index scatter — the same reason the single-chip paths carry a
+    custom VJP (ops/embedding.py:64-71: XLA's scatter costs 16+ ms at
+    Criteo scale). Without this, every model rank's backward would pay the
+    serialized scatter into its shard and multi-chip training would be
+    SLOWER per step than one chip."""
+    return jnp.take(table_shard, idx, axis=0)
+
+
+def _gather_rows_fwd(table_shard, idx):
+    # table_shard rides along only for its static shape/dtype (no data read
+    # in bwd — same residual pattern as ops/embedding._bag_flat_fwd)
+    return jnp.take(table_shard, idx, axis=0), (idx, table_shard)
+
+
+def _gather_rows_bwd(res, ct):
+    import numpy as np
+
+    from armnet_tpu.kernels.scatter_pallas import table_grad
+
+    idx, table_shard = res
+    nrows, e = table_shard.shape
+    g = ct.reshape(-1, e).astype(jnp.float32)
+    dt = table_grad(g, idx.reshape(-1), nrows)
+    return (dt.astype(table_shard.dtype),
+            np.zeros(idx.shape, jax.dtypes.float0))
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _local_gather(table_shard, ids, rows_per_shard, axis_name):
     """Gather rows owned by this shard; zeros elsewhere."""
     m = jax.lax.axis_index(axis_name)
     local = ids - m * rows_per_shard
     in_range = (local >= 0) & (local < rows_per_shard)
     safe = jnp.where(in_range, local, 0)
-    rows = jnp.take(table_shard, safe, axis=0)
+    rows = _gather_rows(table_shard, safe)
     return jnp.where(in_range[..., None], rows, 0.0)
 
 
@@ -110,17 +161,21 @@ def sharded_embedding_bag(table, ids, values, mesh, *,
     rows_per_shard = table.shape[0] // nshards
     assert table.shape[0] % nshards == 0, "nfeat must divide the model axis"
 
+    # check_vma off: the gather's custom VJP (kernel-backed scatter) is
+    # opaque to the static varying-manual-axes checker, which then cannot
+    # prove the transposed table gradient's replication over 'data'.
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(model_axis, None), P(data_axis, None),
                        P(data_axis, None)),
-             out_specs=P(data_axis, None, None))
+             out_specs=P(data_axis, None, None), check_vma=False)
     def lookup(table_shard, ids_local, values_local):
         rows = _local_gather(table_shard, ids_local, rows_per_shard,
                              model_axis)
         rows = jax.lax.psum(rows, model_axis)
         return rows * values_local[..., None]
 
-    return lookup(table, ids, values)
+    out = lookup(table, _wrap_ids(ids, table.shape[0]), values)
+    return _oob_nan(out, ids, table.shape[0])
 
 
 def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
@@ -174,7 +229,7 @@ def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
                                   ).reshape(nshards, cap)
         local = recv - m * rows_per_shard
         in_range = (local >= 0) & (local < rows_per_shard)
-        rows = jnp.take(table_shard, jnp.where(in_range, local, 0), axis=0)
+        rows = _gather_rows(table_shard, jnp.where(in_range, local, 0))
         rows = jnp.where(in_range[..., None], rows, 0.0)  # [M, cap, E]
         back = jax.lax.all_to_all(rows.reshape(nshards * cap, nemb),
                                   model_axis, 0, 0, tiled=True
@@ -191,36 +246,55 @@ def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
         emb = all_rows[:n].reshape(b, f, nemb)
         return emb * values_local[..., None]
 
-    return lookup(table, ids, values)
+    out = lookup(table, _wrap_ids(ids, table.shape[0]), values)
+    return _oob_nan(out, ids, table.shape[0])
 
 
-def a2a_overflow_count(ids, nfeat, mesh, *, data_axis=DATA_AXIS,
+def a2a_overflow_count(ids, nfeat, mesh, *, mask=None, data_axis=DATA_AXIS,
                        model_axis=MODEL_AXIS, capacity_factor=2.0):
-    """Number of requests the a2a exchange DROPS this batch (bucket
+    """Number of REAL requests the a2a exchange DROPS this batch (bucket
     overflow -> zero embedding rows). Skewed real-id distributions (CTR ids
     are power-law) can overflow the uniform-hash capacity; this counter is
     cheap (ids only, a histogram per shard slice — no sort, no table access)
     and is folded into the training meters so silent accuracy loss is
-    visible. Exactly equals the lookup's drop count: a request is dropped
-    iff its within-bucket position >= cap, i.e. max(bucket_count - cap, 0)
-    summed over buckets."""
+    visible.
+
+    mask [B]: 1.0 for real rows — the loader pads the final partial batch
+    with id-0 / mask-0 rows (libsvm.py), which all hash to owner 0 and
+    would otherwise report large PHANTOM drop counts (padding rows are a
+    batch SUFFIX, so within a bucket the stable sort places real requests
+    first: the lookup's real drops are what this counts). Counts a real
+    request as dropped iff its within-bucket position among real requests
+    >= cap, i.e. max(real_bucket_count - cap, 0) summed over buckets —
+    conservative vs the lookup (which lets real requests also occupy
+    positions after a rare interleaved pad), never an undercount of real
+    drops."""
+    import numpy as np
+
     nshards = mesh.shape[model_axis]
     # guard direct callers: with nfeat < nshards the lookup itself would
     # refuse (nfeat must divide the axis) — avoid a div-by-zero here
     rows_per_shard = max(nfeat // nshards, 1)
+    if mask is None:
+        mask = jnp.ones((np.shape(ids)[0],), jnp.float32)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(data_axis, None),
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(data_axis, None), P(data_axis)),
              out_specs=P(), check_vma=False)
-    def count(ids_local):
+    def count(ids_local, mask_local):
         b, f = ids_local.shape
         n = b * f
         m = jax.lax.axis_index(model_axis)
         slice_n = -(-n // nshards)
         pad_n = slice_n * nshards
         flat = jnp.pad(ids_local.reshape(-1), (0, pad_n - n))
+        rreal = jnp.pad(
+            jnp.broadcast_to(mask_local[:, None] > 0, (b, f)).reshape(-1),
+            (0, pad_n - n))
         my = jax.lax.dynamic_slice_in_dim(flat, m * slice_n, slice_n)
+        my_real = jax.lax.dynamic_slice_in_dim(rreal, m * slice_n, slice_n)
         cap = _a2a_capacity(slice_n, nshards, capacity_factor)
-        req_real = (m * slice_n + jnp.arange(slice_n)) < n
+        req_real = ((m * slice_n + jnp.arange(slice_n)) < n) & my_real
         owner = jnp.clip(my // rows_per_shard, 0, nshards - 1)
         hist = jnp.sum(
             jax.nn.one_hot(owner, nshards, dtype=jnp.int32)
@@ -228,4 +302,4 @@ def a2a_overflow_count(ids, nfeat, mesh, *, data_axis=DATA_AXIS,
         dropped = jnp.sum(jnp.maximum(hist - cap, 0)).astype(jnp.float32)
         return jax.lax.psum(dropped, (data_axis, model_axis))
 
-    return count(ids)
+    return count(ids, mask)

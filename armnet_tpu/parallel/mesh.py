@@ -27,7 +27,14 @@ def parse_mesh_spec(spec):
         name = name.strip()
         if not name:
             raise ValueError(f"bad mesh spec {spec!r}")
-        out[name] = int(size) if size else -1
+        if name in out:
+            raise ValueError(f"duplicate axis {name!r} in mesh spec {spec!r}")
+        n = int(size) if size else -1
+        if n == 0 or n < -1:
+            raise ValueError(
+                f"axis {name!r} size must be positive or -1 (got {n}) in "
+                f"mesh spec {spec!r}")
+        out[name] = n
     return out
 
 

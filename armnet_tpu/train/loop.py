@@ -199,7 +199,13 @@ class Trainer:
                         a2a_overflow_count, nfeat=config.nfeat, mesh=mesh,
                         capacity_factor=cap)
                     self.overflow_fn = (
-                        lambda ids: count(ids) * max(ntables, 1))
+                        lambda ids, mask: count(ids, mask=mask)
+                        * max(ntables, 1))
+            if shard_emb and mesh.shape.get("model", 1) <= 1:
+                logger.warning(
+                    "--shard_embedding requested but the mesh has no 'model' "
+                    "axis > 1 — every table stays REPLICATED; pass e.g. "
+                    "--mesh data:-1,model:2 to actually shard")
             logger.info(f"mesh {dict(mesh.shape)} | sharded embedding: "
                         f"{shard_emb}")
 

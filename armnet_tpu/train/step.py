@@ -89,7 +89,7 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None,
     by XLA; row-sharded tables handled by the lookup context).
     lookup_cm: optional zero-arg contextmanager entered around every call so
     the sharded-embedding dispatch is active at trace time.
-    overflow_fn: optional ids -> scalar counting a2a capacity-overflow drops
+    overflow_fn: optional (ids, mask) -> scalar counting a2a capacity-overflow drops of REAL rows
     this batch (folded into the overflow meter; see embedding_parallel)."""
     loss_metric, quality_metric, _ = task_fns(task)
 
@@ -110,7 +110,8 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None,
         state = state.apply_gradients(
             grads=grads, batch_stats=updates["batch_stats"])
         auc = quality_metric(logits, batch["y"], batch["mask"])
-        overflow = overflow_fn(batch["id"]) if overflow_fn else None
+        overflow = (overflow_fn(batch["id"], batch["mask"])
+                    if overflow_fn else None)
         meters = _update_meters(meters, loss, auc, batch["mask"].sum(),
                                 overflow)
         return state, meters
@@ -149,7 +150,8 @@ def make_eval_step(shardings=None, lookup_cm=None, task="binary",
             {"id": batch["id"], "value": batch["value"]}, train=False)
         loss = loss_metric(logits, batch["y"], batch["mask"])
         auc = quality_metric(logits, batch["y"], batch["mask"])
-        overflow = overflow_fn(batch["id"]) if overflow_fn else None
+        overflow = (overflow_fn(batch["id"], batch["mask"])
+                    if overflow_fn else None)
         return _update_meters(meters, loss, auc, batch["mask"].sum(),
                               overflow)
 

@@ -36,6 +36,77 @@ def test_parse_mesh_spec():
     assert m2.shape["data"] == 4
     with pytest.raises(ValueError):
         make_mesh("data:3,model:2")
+    with pytest.raises(ValueError):        # duplicate axis name
+        parse_mesh_spec("data:2,data:4")
+    with pytest.raises(ValueError):        # 0-size axis (was ZeroDivision)
+        make_mesh("data:0,model:-1")
+
+
+def test_gather_rows_vjp_matches_take():
+    """The kernel-backed per-shard gather VJP (the transpose that replaces
+    XLA's serialized duplicate-index scatter on TPU) must produce the same
+    table gradient as plain jnp.take's, duplicates included."""
+    from armnet_tpu.parallel.embedding_parallel import _gather_rows
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(32, 8).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 32, (11, 3)), jnp.int32)  # duplicates
+    w = jnp.asarray(rng.randn(11, 3, 8).astype(np.float32))
+
+    got = jax.grad(lambda t: jnp.sum(_gather_rows(t, idx) * w))(table)
+    want = jax.grad(lambda t: jnp.sum(jnp.take(t, idx, axis=0) * w))(table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["psum", "a2a"])
+def test_out_of_range_ids_match_replicated_fill(impl):
+    """jnp.take's default fill mode yields NaN rows for OOR ids; the sharded
+    lookups must do the same (they used to return a ZERO row, so toggling
+    --shard_embedding silently changed model output on dirty data — NaN is
+    loud and debug_nans catches it)."""
+    mesh = make_mesh("data:4,model:2")
+    table, ids, values = make_inputs()
+    # >= nrows -> NaN fill; -3 WRAPS python-style to row nrows-3; < -nrows
+    # -> NaN fill (all three are jnp.take's default index semantics)
+    dirty = (ids.at[0, 0].set(table.shape[0] + 7)
+             .at[1, 1].set(-3)
+             .at[2, 2].set(-table.shape[0] - 5))
+    want = np.asarray(embedding_bag(table, dirty, values))
+    assert np.isnan(want[0, 0]).all() and np.isnan(want[2, 2]).all()
+    assert not np.isnan(want[1, 1]).any()
+    fn = sharded_embedding_bag if impl == "psum" else sharded_embedding_bag_a2a
+    got = fn(table, dirty, values, mesh)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_overflow_counter_ignores_padding_rows():
+    """Loader padding (id 0 / mask 0 suffix rows) must not report phantom
+    capacity-overflow drops: all-pad ids hash to owner 0 and overflow its
+    bucket, but they are not real requests (and, being a batch suffix,
+    they never displace real requests in the lookup either)."""
+    from armnet_tpu.parallel.embedding_parallel import a2a_overflow_count
+
+    mesh = make_mesh("data:2,model:4")
+    nfeat, b, f = 64, 32, 5
+    ids = np.zeros((b, f), np.int32)              # padding ids are 0
+    # 8 real rows, ids spread deterministically so no owner bucket exceeds
+    # the factor-1.0 capacity floor (random ids can genuinely overflow it)
+    ids[:8] = (np.arange(8 * f).reshape(8, f) * 13) % nfeat
+    mask = np.zeros((b,), np.float32)
+    mask[:8] = 1.0
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    # unmasked: the id-0 flood overflows owner 0's bucket
+    assert float(a2a_overflow_count(ids, nfeat, mesh,
+                                    capacity_factor=1.0)) > 0
+    # masked: only the 8 real rows count — nothing real is dropped
+    assert float(a2a_overflow_count(ids, nfeat, mesh, mask=mask,
+                                    capacity_factor=1.0)) == 0
+    # real overflow still reported under the mask: all real rows id 0
+    ids2 = jnp.asarray(np.zeros((b, f), np.int32))
+    mask2 = jnp.ones((b,), jnp.float32)
+    assert float(a2a_overflow_count(ids2, nfeat, mesh, mask=mask2,
+                                    capacity_factor=1.0)) > 0
 
 
 @pytest.mark.parametrize("mesh_spec", ["data:4,model:2", "data:2,model:4",
