@@ -68,13 +68,13 @@ def required_capacity_factor(ids_batches, nfeat, mesh, *, margin=1.25,
             n = local.size
             if n == 0:
                 continue
-            slice_n = -(-n // M)
-            padded = np.pad(local, (0, slice_n * M - n))
+            slice_n, pad_n = _slice_layout(n, M)
+            padded = np.pad(local, (0, pad_n - n))
             worst = 0
             for m in range(M):
                 sl = padded[m * slice_n:(m + 1) * slice_n]
-                real = (m * slice_n + np.arange(slice_n)) < n
-                owner = np.clip(sl // rows_per_shard, 0, M - 1)
+                real = _slice_real(m, slice_n, n, xp=np)
+                owner = _owner_of(sl, rows_per_shard, M, xp=np)
                 cnt = np.bincount(owner[real], minlength=M)
                 worst = max(worst, int(cnt.max(initial=0)))
             if worst > 8:   # <=8: the lookup's capacity floor already covers it
@@ -91,6 +91,29 @@ def _a2a_capacity(slice_n, nshards, capacity_factor):
     """Per-shard request-bucket size: headroom over the uniform-hash
     expectation. Must match between the lookup and the overflow counter."""
     return max(int(capacity_factor * slice_n / nshards), 8)
+
+
+# --- shared request-slicing invariants -------------------------------------
+# The a2a lookup, the overflow counter, and required_capacity_factor's numpy
+# replay must agree EXACTLY on how the n = b*f local requests split into M
+# slices and which shard owns each id — these helpers are the single source
+# (the numpy replay calls them with numpy arrays; they're jnp/np agnostic).
+
+def _slice_layout(n, nshards):
+    """(slice_n, pad_n): each model rank serves a ceil(n/M)-request slice."""
+    slice_n = -(-n // nshards)
+    return slice_n, slice_n * nshards
+
+
+def _slice_real(m, slice_n, n, xp=jnp):
+    """Mask of slice positions that are real requests (not the ceil-pad
+    tail past n)."""
+    return (m * slice_n + xp.arange(slice_n)) < n
+
+
+def _owner_of(ids, rows_per_shard, nshards, xp=jnp):
+    """Owning shard of each id (clip keeps padding/sentinel ids routable)."""
+    return xp.clip(ids // rows_per_shard, 0, nshards - 1)
 
 
 def _wrap_ids(ids, nrows):
@@ -200,15 +223,14 @@ def sharded_embedding_bag_a2a(table, ids, values, mesh, *,
         m = jax.lax.axis_index(model_axis)
 
         # Each model rank serves a distinct 1/M slice of the local requests.
-        slice_n = -(-n // nshards)                       # ceil
-        pad_n = slice_n * nshards
+        slice_n, pad_n = _slice_layout(n, nshards)
         flat = jnp.pad(ids_local.reshape(-1), (0, pad_n - n))
         my = jax.lax.dynamic_slice_in_dim(flat, m * slice_n, slice_n)
 
         # Bucket my requests by owning shard into [M, capacity].
         cap = _a2a_capacity(slice_n, nshards, capacity_factor)
-        req_real = (m * slice_n + jnp.arange(slice_n)) < n   # not tail padding
-        owner = jnp.clip(my // rows_per_shard, 0, nshards - 1)
+        req_real = _slice_real(m, slice_n, n)            # not tail padding
+        owner = _owner_of(my, rows_per_shard, nshards)
         # route padding to a virtual owner so it never consumes capacity
         sort_key = jnp.where(req_real, owner, nshards)
         order = jnp.argsort(sort_key)                    # stable
@@ -285,8 +307,7 @@ def a2a_overflow_count(ids, nfeat, mesh, *, mask=None, data_axis=DATA_AXIS,
         b, f = ids_local.shape
         n = b * f
         m = jax.lax.axis_index(model_axis)
-        slice_n = -(-n // nshards)
-        pad_n = slice_n * nshards
+        slice_n, pad_n = _slice_layout(n, nshards)
         flat = jnp.pad(ids_local.reshape(-1), (0, pad_n - n))
         rreal = jnp.pad(
             jnp.broadcast_to(mask_local[:, None] > 0, (b, f)).reshape(-1),
@@ -294,8 +315,8 @@ def a2a_overflow_count(ids, nfeat, mesh, *, mask=None, data_axis=DATA_AXIS,
         my = jax.lax.dynamic_slice_in_dim(flat, m * slice_n, slice_n)
         my_real = jax.lax.dynamic_slice_in_dim(rreal, m * slice_n, slice_n)
         cap = _a2a_capacity(slice_n, nshards, capacity_factor)
-        req_real = ((m * slice_n + jnp.arange(slice_n)) < n) & my_real
-        owner = jnp.clip(my // rows_per_shard, 0, nshards - 1)
+        req_real = _slice_real(m, slice_n, n) & my_real
+        owner = _owner_of(my, rows_per_shard, nshards)
         hist = jnp.sum(
             jax.nn.one_hot(owner, nshards, dtype=jnp.int32)
             * req_real[:, None].astype(jnp.int32), axis=0)
