@@ -279,10 +279,15 @@ def arm1h_fused(emb, wk, query, values, alpha, n_iter=50):
     if alpha <= 1.0:
         raise ValueError("arm1h_fused requires alpha > 1 (softmax path is "
                          "handled by the jnp twin)")
-    emb = jnp.asarray(emb, jnp.float32)
+    in_dtype = jnp.asarray(emb).dtype     # compute f32 inside the kernel,
+    emb = jnp.asarray(emb, jnp.float32)   # but honor the caller's compute
     vt = jnp.asarray(values, jnp.float32).T           # [F,O]
-    return _arm1h(emb, jnp.asarray(wk, jnp.float32),
-                  jnp.asarray(query, jnp.float32), vt, alpha, int(n_iter))
+    out = _arm1h(emb, jnp.asarray(wk, jnp.float32),
+                 jnp.asarray(query, jnp.float32), vt, alpha, int(n_iter))
+    # dtype contract parity with the jnp twin: under --bf16 the twin returns
+    # bf16 and every downstream layer follows its input dtype — an f32
+    # return here would silently run the whole head in f32
+    return out.astype(in_dtype)
 
 
 def arm1h_reference(emb, wk, query, values, alpha, n_iter=50):

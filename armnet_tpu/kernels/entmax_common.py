@@ -122,8 +122,14 @@ def solve_entmax_axis0(x, alpha, n_iter=50):
             # bit trick needs z well inside the normal-f32 range
             zc = jnp.maximum(z, 1e-20)
             bits = lax.bitcast_convert_type(zc, jnp.int32)
-            pb = (inv_am1 * (bits - _K).astype(jnp.float32)
-                  ).astype(jnp.int32) + _K
+            # clamp in f32 BEFORE the int32 cast: at small alpha (inv_am1
+            # ~ 4+) a tiny z gives inv_am1*(bits-K)+K past int32 min — the
+            # saturated/UB cast would bitcast to garbage and poison the
+            # warmup bracket. The 0 floor bitcasts to +0.0, the correct
+            # limit of z^c as z -> 0 (f32 rounding at 1e9 magnitudes is
+            # ~100x finer than the bit-trick's own ~4% error).
+            pb_f = inv_am1 * (bits - _K).astype(jnp.float32) + jnp.float32(_K)
+            pb = jnp.clip(pb_f, 0.0, 2.1e9).astype(jnp.int32)
             p = lax.bitcast_convert_type(pb, jnp.float32)
             return jnp.where(z > 0, p, 0.0)
 

@@ -53,6 +53,16 @@ def table_grad_reference(g, flat_ids, nrows):
     return jnp.zeros((nrows, g.shape[1]), g.dtype).at[flat_ids].add(g)
 
 
+def _wrap_negative_ids(flat_ids, nrows):
+    """Index-normalization parity with the jnp twin and the forward gather:
+    .at[].add and jnp.take wrap ids in [-nrows, 0) python-style, but the
+    bucketed kernels' searchsorted ranges start at 0, so an unwrapped
+    negative id's gradient row would be silently DROPPED on TPU while CPU
+    (twin) adds it to row nrows+id. Ids below -nrows stay negative (kernel
+    drops them; their forward rows were NaN-filled anyway)."""
+    return jnp.where(flat_ids < 0, flat_ids + nrows, flat_ids)
+
+
 def _sorted_prep(flat_ids, nrows, bucket):
     """Group the N updates by table bucket: returns (order, sid, starts) with
     `order` a permutation grouping ids by id//bucket, `sid` the permuted ids,
@@ -76,6 +86,34 @@ def _sorted_prep(flat_ids, nrows, bucket):
             (ids32, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     starts = jnp.searchsorted(sid, edges * bucket).astype(jnp.int32)
     return order, sid, starts
+
+
+def _prep_bf16_payload(g, order, sid, n, e):
+    """Shared v4/v5/v6 host-side prep: bf16 hi|residual payload [ep, np_]
+    (sublane-tiled, lane-aligned) + broadcast id row [8, np_] with -1 pads.
+
+    bf16 hi|residual split BEFORE the gather/transpose (half the bytes);
+    reduce_precision, not a cast round-trip — see the v3 note on
+    --xla_allow_excess_precision eliding fused downcasts. One definition so
+    a numerics fix can't silently diverge across the three variants."""
+    gf = g.astype(jnp.float32)
+    hi = lax.reduce_precision(gf, 8, 7)
+    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
+                            (gf - hi).astype(jnp.bfloat16)], axis=1)
+    payload = pair[order].T                    # [2e, N] bf16
+    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
+    if ep != 2 * e:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
+    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
+    if np_ != n:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
+    # padded ids -1: never match a bucket slot
+    idrow = jnp.broadcast_to(
+        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
+        (8, np_))
+    return payload, idrow, ep, np_
 
 
 def _kernel(starts_ref, payload_hbm, out_ref, pay_scr, sems, *, n, e):
@@ -243,27 +281,7 @@ def _table_grad_tpu_v4(g, flat_ids, nrows, interpret=False):
     assert CHUNK % ALIGN == 0, "ARMNET_SCATTER_CHUNK must be a multiple of 128"
     order, sid, starts = _sorted_prep(flat_ids, nrows, BUCKET)
     nb = -(-nrows // BUCKET)
-
-    # bf16 hi|residual split BEFORE the gather/transpose (half the bytes);
-    # reduce_precision, not a cast round-trip — see the v3 note on
-    # --xla_allow_excess_precision eliding fused downcasts
-    gf = g.astype(jnp.float32)
-    hi = lax.reduce_precision(gf, 8, 7)
-    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
-                            (gf - hi).astype(jnp.bfloat16)], axis=1)
-    payload = pair[order].T                    # [2e, N] bf16
-    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
-    if ep != 2 * e:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
-    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
-    if np_ != n:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
-    # padded ids -1: never match a bucket slot
-    idrow = jnp.broadcast_to(
-        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
-        (8, np_))
+    payload, idrow, ep, np_ = _prep_bf16_payload(g, order, sid, n, e)
 
     out_spec = pl.BlockSpec((BUCKET, e), lambda i, starts: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -355,23 +373,7 @@ def _table_grad_tpu_v5(g, flat_ids, nrows, interpret=False):
     order, sid, starts = _sorted_prep(flat_ids, nrows, BUCKET)
     nb = -(-nrows // BUCKET)
     rp = nb * BUCKET
-
-    gf = g.astype(jnp.float32)
-    hi = lax.reduce_precision(gf, 8, 7)
-    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
-                            (gf - hi).astype(jnp.bfloat16)], axis=1)
-    payload = pair[order].T                    # [2e, N] bf16
-    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
-    if ep != 2 * e:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
-    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
-    if np_ != n:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
-    idrow = jnp.broadcast_to(
-        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
-        (8, np_))
+    payload, idrow, ep, np_ = _prep_bf16_payload(g, order, sid, n, e)
 
     # unlike v4's row-blocked output, the lane axis here is the TABLE axis:
     # the final block would be ragged at nrows % BUCKET, so pad the lane dim
@@ -507,23 +509,7 @@ def _table_grad_tpu_v6(g, flat_ids, nrows, interpret=False):
     # prep against the group-padded bucket count so starts has an entry for
     # every bucket every program touches (padding buckets are empty ranges)
     order, sid, starts = _sorted_prep(flat_ids, rp, BUCKET)
-
-    gf = g.astype(jnp.float32)
-    hi = lax.reduce_precision(gf, 8, 7)
-    pair = jnp.concatenate([hi.astype(jnp.bfloat16),
-                            (gf - hi).astype(jnp.bfloat16)], axis=1)
-    payload = pair[order].T                    # [2e, N] bf16
-    ep = -(-(2 * e) // 16) * 16                # bf16 sublane tile
-    if ep != 2 * e:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((ep - 2 * e, n), jnp.bfloat16)], axis=0)
-    np_ = max(WIN, -(-n // ALIGN) * ALIGN)
-    if np_ != n:
-        payload = jnp.concatenate(
-            [payload, jnp.zeros((ep, np_ - n), jnp.bfloat16)], axis=1)
-    idrow = jnp.broadcast_to(
-        jnp.concatenate([sid, jnp.full((np_ - n,), -1, jnp.int32)])[None, :],
-        (8, np_))
+    payload, idrow, ep, np_ = _prep_bf16_payload(g, order, sid, n, e)
 
     out_spec = pl.BlockSpec((e, g_per * BUCKET), lambda i, starts: (0, i),
                             memory_space=pltpu.VMEM)
@@ -576,6 +562,10 @@ def _table_grad_tpu_v6(g, flat_ids, nrows, interpret=False):
 # ---------------------------------------------------------------------------
 
 CHUNK2 = int(os.environ.get("ARMNET_SCATTER_CHUNK2", 256))
+# same hazard as v1/v3's CHUNK % ALIGN assert: a non-8-aligned WIN2 makes
+# the end-of-array clamp produce a window ending before n, silently
+# dropping the final updates
+assert CHUNK2 % 8 == 0, "ARMNET_SCATTER_CHUNK2 must be a multiple of 8"
 WIN2 = CHUNK2 + 8                       # row-offset alignment slop
 
 
@@ -910,6 +900,7 @@ def table_grad(g, flat_ids, nrows):
     which = os.environ.get("ARMNET_SCATTER", "v4")
     if (jax.default_backend() == "tpu" and nrows < 2 ** 24
             and which != "xla"):
+        flat_ids = _wrap_negative_ids(flat_ids, nrows)
         if which == "v1":
             return _table_grad_tpu(g, flat_ids, nrows)
         if which == "v5":
@@ -943,6 +934,7 @@ def table_grad_flat(g, flat_ids, nrows):
             and os.environ.get("ARMNET_SCATTER") != "xla"):
         e = g.shape[1]
         which = os.environ.get("ARMNET_SCATTER", "v4")
+        flat_ids = _wrap_negative_ids(flat_ids, nrows)
         if which == "v2" and e <= 120:
             return _table_grad_tpu_v2(g, flat_ids, nrows)
         if which == "v3" and (128 // math.gcd(e, 128)) * e <= MAX_KE3 \

@@ -49,15 +49,22 @@ ONE_HOT_MAX_ROWS = 512
 
 
 def one_hot_embedding_bag(table, ids, values):
-    """Embedding-bag as one-hot x table matmul (MXU path for tiny tables)."""
+    """Embedding-bag as one-hot x table matmul (MXU path for tiny tables).
+
+    Index semantics match jnp.take's defaults (one_hot alone would yield a
+    SILENT zero row for any out-of-range id): negatives in [-n, 0) wrap
+    python-style; ids outside [-n, n) yield NaN rows."""
     nfeat = table.shape[0]
-    oh = jax.nn.one_hot(ids, nfeat, dtype=table.dtype)        # [B, F, nfeat]
+    wrapped = jnp.where(ids < 0, ids + nfeat, ids)
+    oh = jax.nn.one_hot(wrapped, nfeat, dtype=table.dtype)    # [B, F, nfeat]
     # HIGHEST precision: a one-hot select must be exact — the default bf16 MXU
     # pass would silently round the f32 table.
     emb = jnp.einsum(
         "bfn,ne->bfe", oh, table,
         preferred_element_type=table.dtype, precision=jax.lax.Precision.HIGHEST,
     )
+    oob = (ids < -nfeat) | (ids >= nfeat)
+    emb = jnp.where(oob[..., None], jnp.nan, emb)
     return emb * values[..., None].astype(table.dtype)
 
 

@@ -118,15 +118,11 @@ _entmax_core.defvjp(_entmax_core_fwd, _entmax_core_bwd)
 # trace time (alpha=2 -> identity, 1.5 -> square / sqrt), instead of a generic
 # pow(x, traced) = exp(log) per element per bisection iteration.
 
-def _pow_inv_static(z, inv_am1):
-    z = jnp.maximum(z, 0.0)
-    if inv_am1 == 1.0:
-        return z
-    if inv_am1 == 2.0:
-        return z * z
-    if inv_am1 == 3.0:
-        return z * z * z
-    return jnp.power(z, inv_am1)
+# the static-exponent specialization tables live in ONE place
+# (kernels/entmax_common) so a new specialized alpha or clamp change
+# cannot silently diverge between the jnp path and the Pallas kernels
+from armnet_tpu.kernels.entmax_common import (pow_inv as _pow_inv_static,
+                                              pow_static as _pow_static)
 
 
 def _entmax_forward_static(x, alpha, n_iter):
@@ -163,16 +159,6 @@ def _entmax_core_static(x, alpha, n_iter):
 def _entmax_core_static_fwd(x, alpha, n_iter):
     y = _entmax_forward_static(x, alpha, n_iter)
     return y, y
-
-
-def _pow_static(y, e):
-    if e == 0.0:
-        return jnp.ones_like(y)
-    if e == 0.5:
-        return jnp.sqrt(y)
-    if e == 1.0:
-        return y
-    return jnp.power(jnp.maximum(y, 1e-38), e)
 
 
 def _entmax_core_static_bwd(alpha, n_iter, y, dY):

@@ -122,17 +122,32 @@ class Embedding(nn.Module):
 
 
 class FeaturesLinear(nn.Module):
-    """First-order term: per-feature scalar weight * value, summed over fields."""
+    """First-order term: per-feature scalar weight * value, summed over fields.
+
+    Large weights are stored FLAT [nfeat] like Embedding's tables: a
+    [nfeat, 1] f32 param lives in a T(8,128) layout that pads the width-1
+    minor dim to 128 lanes — a 128x physical blowup every full-weight pass
+    (Adam) pays at Criteo scale (~1 GB of phantom HBM across weight +
+    m/v state)."""
 
     nfeat: int
 
     @nn.compact
     def __call__(self, ids, values):
-        weight = self.param("weight", init.xavier_uniform(), (self.nfeat, 1))
+        from armnet_tpu.ops.embedding import ONE_HOT_MAX_ROWS
+
         bias = self.param("bias", init.zeros, (1,))
-        # routed through the embedding-bag dispatcher so the [nfeat, 1] weight
-        # follows the same row-sharded collective path as the tables
-        w = scaled_embedding_lookup(weight, ids, values)        # [B, F, 1]
+        # routed through the embedding-bag dispatcher so the weight follows
+        # the same row-sharded collective path as the tables
+        if self.nfeat > ONE_HOT_MAX_ROWS:
+            weight = self.param(
+                "weight", init.xavier_uniform_flat(self.nfeat, 1),
+                (self.nfeat,))
+            w = scaled_embedding_lookup(weight, ids, values, nemb=1)
+        else:
+            weight = self.param(
+                "weight", init.xavier_uniform(), (self.nfeat, 1))
+            w = scaled_embedding_lookup(weight, ids, values)    # [B, F, 1]
         return jnp.sum(w[..., 0], axis=1) + bias[0]             # [B]
 
 

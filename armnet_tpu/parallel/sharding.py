@@ -47,7 +47,9 @@ def leaf_spec(leaf, nfeat, mesh, shard_embedding, name=None):
                 return table_spec(mesh, 2)
         if leaf.ndim == 1 and leaf.shape[0] >= nfeat \
                 and leaf.shape[0] % nfeat == 0:
-            if name == "embedding" or name is None:
+            # 'weight': FeaturesLinear's flat [nfeat] first-order weight
+            # (stored flat for the same lane-padding reason as the tables)
+            if name in ("embedding", "weight") or name is None:
                 return table_spec(mesh, 1)   # flat-stored table
     return P()
 

@@ -44,6 +44,13 @@ RECIPES = [
     ("gc_arm_criteo_a2.0", dict(model="gc_arm", nfeat=2_100_000,
                                 nfield=39, nemb=10, h=64, nattn_head=4,
                                 mlp_nlayer=2, mlp_nhid=500, alpha=2.0)),
+    # baseline-zoo rows: exercise the FeaturesLinear flat-weight path
+    # (r4: [nfeat,1] -> flat [nfeat] storage, 128x lane-pad removed from
+    # the first-order weight's optimizer passes) at Criteo geometry
+    ("lr_criteo", dict(model="lr", nfeat=2_100_000, nfield=39, nemb=10)),
+    ("fm_criteo", dict(model="fm", nfeat=2_100_000, nfield=39, nemb=10)),
+    ("dfm_criteo", dict(model="dfm", nfeat=2_100_000, nfield=39, nemb=10,
+                        mlp_nlayer=2, mlp_nhid=500)),
 ]
 
 

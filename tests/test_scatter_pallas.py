@@ -228,3 +228,29 @@ def test_v6_multichunk_bucket():
     want = table_grad_reference(g, ids, nrows)
     np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
                                rtol=1e-5, atol=2e-5)
+
+
+def test_negative_id_wrap_matches_at_add():
+    """_wrap_negative_ids (applied in the TPU dispatch before every kernel)
+    must reproduce .at[].add's python-style index wrap, so TPU and CPU
+    backwards agree on ids in [-nrows, 0) — the kernels' searchsorted
+    bucket ranges start at 0 and would otherwise silently DROP those
+    gradient rows."""
+    from armnet_tpu.kernels.scatter_pallas import (_table_grad_tpu_v4,
+                                                   _wrap_negative_ids)
+
+    n, e, nrows = 300, 6, 2048
+    k = jax.random.split(jax.random.key(11), 2)
+    ids = jax.random.randint(k[0], (n,), -nrows, nrows, dtype=jnp.int32)
+    g = jax.random.normal(k[1], (n, e), jnp.float32)
+
+    wrapped = _wrap_negative_ids(ids, nrows)
+    # the wrap IS .at[].add's normalization: same scatter either way
+    np.testing.assert_allclose(
+        np.asarray(table_grad_reference(g, wrapped, nrows)),
+        np.asarray(table_grad_reference(g, ids, nrows)), atol=1e-6)
+    # and the kernel on wrapped ids matches the reference on raw ids
+    got = _table_grad_tpu_v4(g, wrapped, nrows, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(table_grad_reference(g, ids, nrows)),
+                               rtol=1e-5, atol=2e-5)
