@@ -115,6 +115,20 @@ def _parse_numpy_fast(path, nfield, byte_range=None):
     ncol = 1 + 2 * nfield
     if arr.size == 0 or arr.size % ncol != 0:
         return None
+    # divisibility alone is not enough: malformed lines whose missing/extra
+    # pairs compensate (3 pairs + 1 pair at nfield=2) still pass it, and the
+    # reshape would silently shift the label/id/value alignment of every
+    # row in between. The exact per-line check: after the b":"->b" "
+    # replacement a well-formed line has exactly 2*nfield separator spaces —
+    # verify it for every line (vectorized), else hand off to the robust
+    # parser (which skips exactly the bad lines with a warning).
+    sp = np.cumsum(flat == ord(" "))
+    ends = np.flatnonzero(flat == ord("\n"))
+    if flat.size and flat[-1] != ord("\n"):
+        ends = np.append(ends, flat.size - 1)
+    per_line = np.diff(np.concatenate([[0], sp[ends]]))
+    if per_line.size != arr.size // ncol or not np.all(per_line == 2 * nfield):
+        return None
     arr = arr.reshape(-1, ncol)
     labels = arr[:, 0].astype(np.float32)
     ids = arr[:, 1::2].astype(np.int32)
@@ -183,7 +197,10 @@ def parse_libsvm(path, nfield, use_cache=True, byte_range=None):
         if all(os.path.exists(n) for n in names):
             total = sum(os.path.getsize(n) for n in names)
             mode = "r" if total > MMAP_BYTES else None
-            return tuple(np.load(n, mmap_mode=mode) for n in names)
+            try:
+                return tuple(np.load(n, mmap_mode=mode) for n in names)
+            except Exception as e:   # truncated/corrupt cache: reparse
+                warnings.warn(f"libsvm cache unreadable ({e}); reparsing")
 
     out = _parse_native(path, nfield, byte_range)
     if out is None:
@@ -193,10 +210,16 @@ def parse_libsvm(path, nfield, use_cache=True, byte_range=None):
     ids, values, labels = out
 
     if use_cache:
+        # atomic publish: write to a pid-suffixed temp then rename, so a
+        # concurrent run of the same dataset never loads a half-written
+        # .npy (rename is atomic within the cache dir)
         try:
             os.makedirs(_CACHE_DIR, exist_ok=True)
             for name, arr in zip(names, (ids, values, labels)):
-                np.save(name, arr)
+                tmp = f"{name}.{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, name)
         except OSError:
             pass
     return ids, values, labels

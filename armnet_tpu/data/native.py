@@ -26,17 +26,25 @@ def _load():
         return _lib
     if _build_failed:
         raise RuntimeError("native parser build previously failed")
-    if not os.path.exists(_SO):
-        src = os.path.join(_CSRC, "libsvm_parser.cc")
+    src = os.path.join(_CSRC, "libsvm_parser.cc")
+    # rebuild when the source is newer than the .so, not just when the .so
+    # is missing — a stale committed binary would otherwise shadow local
+    # source fixes forever
+    stale = (os.path.exists(src) and os.path.exists(_SO)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if not os.path.exists(_SO) or stale:
         if not os.path.exists(src):
             _build_failed = True
             raise RuntimeError("csrc/libsvm_parser.cc missing")
         try:
-            subprocess.run(["make", "-C", _CSRC], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", _CSRC] + (["-B"] if stale else []),
+                           check=True, capture_output=True, timeout=120)
         except Exception as e:
-            _build_failed = True
-            raise RuntimeError(f"native parser build failed: {e}")
+            if not os.path.exists(_SO):
+                _build_failed = True
+                raise RuntimeError(f"native parser build failed: {e}")
+            warnings.warn(f"native parser rebuild failed, using existing "
+                          f".so: {e}")
     lib = ctypes.CDLL(_SO)
     lib.libsvm_count_rows.argtypes = [ctypes.c_char_p]
     lib.libsvm_count_rows.restype = ctypes.c_int64

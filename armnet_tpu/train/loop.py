@@ -41,7 +41,6 @@ def run_epoch(epoch, state, loader, logger, *, train_step=None, eval_step=None,
     time_avg = AverageMeter()
     timestamp = time.time()
     nbatch = len(loader)
-    fetched = None
 
     for batch_idx, batch in enumerate(loader):
         if is_train:
@@ -184,7 +183,6 @@ class Trainer:
                         a2a_overflow_count)
                     from armnet_tpu.parallel.sharding import (_leaf_name,
                                                               leaf_spec)
-                    from jax.sharding import PartitionSpec as P
 
                     # every sharded gather-table lookup (embedding tables,
                     # FeaturesLinear weight, deep-ensemble tables) drops the

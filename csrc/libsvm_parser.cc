@@ -127,6 +127,10 @@ Range shard_range(const Mapped& m, int64_t lo, int64_t hi) {
   const char* base = m.data;
   const char* file_end = m.data + m.size;
   if (lo < 0) lo = 0;
+  // clamp lo too: lo past EOF would hand memchr an underflowed
+  // (negative-cast-to-size_t) length — an out-of-bounds read (SIGSEGV,
+  // reproduced). The numpy fallback returns b"" for the same inputs.
+  if (lo > static_cast<int64_t>(m.size)) lo = static_cast<int64_t>(m.size);
   if (hi > static_cast<int64_t>(m.size)) hi = static_cast<int64_t>(m.size);
   const char* p = base + lo;
   if (lo > 0) {

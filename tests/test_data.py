@@ -236,3 +236,41 @@ def test_make_dataloaders_shard_mode(tmp_path):
     assert 0 < len(tr.ds) < 12 and 0 < len(va.ds) < 6
     # single process: allgathered "global" count == local shard count
     assert tr.local_shard_total == len(tr.ds)
+
+
+def test_fast_parser_rejects_compensating_malformed_lines(tmp_path):
+    """Two malformed lines whose missing/extra pairs compensate keep the
+    total token count divisible — the fast parser must detect the row/line
+    mismatch and hand off (robust parser skips exactly the bad lines),
+    not silently shift every later row's label/id/value alignment."""
+    from armnet_tpu.data.libsvm import _parse_numpy_fast, parse_libsvm
+
+    p = str(tmp_path / "tr.libsvm")
+    with open(p, "w") as f:
+        f.write("1 0:1 1:2\n")           # good (nfield=2)
+        f.write("0 0:1 1:2 2:3\n")       # 3 pairs
+        f.write("1 0:9\n")               # 1 pair — compensates
+        f.write("0 1:4 2:5\n")           # good
+    assert _parse_numpy_fast(p, 2) is None
+    ids, values, labels = parse_libsvm(p, 2, use_cache=False)
+    assert labels.shape == (2,)          # the two good rows only
+    np.testing.assert_array_equal(ids, [[0, 1], [1, 2]])
+
+
+def test_cache_atomic_and_corruption_tolerant(tmp_path, monkeypatch):
+    """A truncated cache file (concurrent writer died / raced) must trigger
+    a reparse, not crash at startup."""
+    import glob as g
+
+    from armnet_tpu.data import libsvm as L
+
+    monkeypatch.setattr(L, "_CACHE_DIR", str(tmp_path / "cache"))
+    p = str(tmp_path / "tr.libsvm")
+    _rand_libsvm(p, n=6, f=3, seed=9)
+    want = L.parse_libsvm(p, 3, use_cache=True)      # writes the cache
+    cached = sorted(g.glob(str(tmp_path / "cache" / "*.npy")))
+    assert len(cached) == 3 and not g.glob(str(tmp_path / "cache" / "*.tmp"))
+    with open(cached[1], "r+b") as f:                # truncate one file
+        f.truncate(8)
+    got = L.parse_libsvm(p, 3, use_cache=True)       # reparses, no raise
+    np.testing.assert_array_equal(got[0], want[0])

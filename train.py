@@ -82,6 +82,11 @@ def main():
         logger.info(str(vars(args)))
 
         train_loader.seed = seed  # reshuffle schedule follows the active seed
+        # reset the epoch counter too: the shuffle permutation is
+        # RandomState(seed + epoch), so without this a repeat's data order
+        # would depend on how many epochs EARLIER repeats ran (not
+        # reproducible standalone)
+        train_loader.epoch = 0
         ckpt_dir = (os.path.join(args.ckpt_dir, exp_name)
                     if args.ckpt_dir else None)
         trainer = Trainer(args, train_loader, val_loader, test_loader, logger,
