@@ -6,7 +6,10 @@ BN at both ends, then an MLP; optional DNN ensemble
 Positivity: the reference mutates the embedding table in place each forward
 (abs then clamp min 1e-4). Functionally we reparametrize: the *effective*
 table read in the forward pass is clip(|W|, 1e-4, inf) — identical forward
-values, with gradients flowing through the |.| instead of a hidden mutation."""
+values. The clamp is STRAIGHT-THROUGH (stop_gradient on the clip delta):
+a plain clip would zero the gradient for every |W| < 1e-4, an absorbing
+dead zone the reference doesn't have (its no_grad mutation keeps clamped
+weights fully trainable — grads flow at the clamped value)."""
 
 import flax.linen as nn
 import jax
@@ -36,10 +39,24 @@ class AFN(nn.Module):
         ids, values = split_batch(batch)
         values = jnp.clip(values, *VALUE_CLAMP)
 
-        table = self.param("embedding", init.xavier_uniform(),
-                           (self.nfeat, self.nemb))
-        pos_table = jnp.clip(jnp.abs(table), 1e-4, None)  # keep embeddings positive
-        emb = scaled_embedding_lookup(pos_table, ids, values)     # [B,F,E] > 0
+        from armnet_tpu.ops.embedding import ONE_HOT_MAX_ROWS
+
+        # flat storage for large tables (same T(8,128) lane-pad reason as
+        # ops/layers.Embedding); the positivity transform is elementwise so
+        # it is layout-agnostic
+        if self.nfeat > ONE_HOT_MAX_ROWS:
+            table = self.param(
+                "embedding", init.xavier_uniform_flat(self.nfeat, self.nemb),
+                (self.nfeat * self.nemb,))
+        else:
+            table = self.param("embedding", init.xavier_uniform(),
+                               (self.nfeat, self.nemb))
+        w_abs = jnp.abs(table)
+        # straight-through clamp: forward clip(|W|, 1e-4), backward d|W|
+        pos_table = w_abs + jax.lax.stop_gradient(
+            jnp.clip(w_abs, 1e-4, None) - w_abs)
+        emb = scaled_embedding_lookup(pos_table, ids, values,
+                                      nemb=self.nemb)             # [B,F,E] > 0
 
         x_log = BatchNorm(channel_axis=1, name="emb_bn")(jnp.log(emb), train)
         x_log = x_log.transpose(0, 2, 1)                           # [B,E,F]
@@ -56,7 +73,7 @@ class AFN(nn.Module):
         y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout, self.noutput,
                 name="mlp")(afn, train)
         if self.ensemble:
-            y = DeepEnsemble(self.nfeat, self.nemb, self.nfield,
+            y = DeepEnsemble(self.nfeat, self.nemb,
                              self.deep_nlayer, self.deep_nhid, self.dropout,
                              self.noutput, name="ensemble")(y, ids, values, train)
         return squeeze_logits(y)

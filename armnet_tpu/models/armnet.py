@@ -79,7 +79,7 @@ class ARMNet(nn.Module):
         y = MLP(self.mlp_nlayer, self.mlp_nhid, self.dropout,
                 self.noutput, name="mlp")(x, train)
         if self.ensemble:
-            y = DeepEnsemble(self.nfeat, self.nemb, self.nfield,
+            y = DeepEnsemble(self.nfeat, self.nemb,
                              self.deep_nlayer, self.deep_nhid, self.dropout,
                              self.noutput, name="ensemble")(y, ids, values, train)
         return squeeze_logits(y)

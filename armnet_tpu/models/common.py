@@ -40,7 +40,6 @@ class DeepEnsemble(nn.Module):
 
     nfeat: int
     nemb: int
-    nfield: int
     nlayer: int
     nhid: int
     dropout: float = 0.0

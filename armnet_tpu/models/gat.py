@@ -26,8 +26,11 @@ class GraphAttention(nn.Module):
     def __call__(self, x, adj, train: bool):
         ninfeat = x.shape[-1]
         nfield = x.shape[1]
-        # stacked per-head projection [H, in, out], xavier gain 1.414
-        W = self.param("W", init.xavier_uniform(1.414, transpose_fans=True),
+        # stacked per-head projection [H, in, out]: each head's matrix gets
+        # its own xavier (gain 1.414) over (in, out) fans — the reference
+        # inits H separate (in, out) params (gat.py:14-16); whole-shape fans
+        # would under-scale by sqrt(H)
+        W = self.param("W", init.xavier_uniform_stacked(1.414),
                        (self.nhead, ninfeat, self.noutfeat))
         # per-head pair scorer a: Linear(2*out -> 1, no bias), split into the
         # src/dst halves so we can score without materializing concat pairs

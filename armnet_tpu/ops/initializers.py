@@ -13,8 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["xavier_uniform", "xavier_uniform_flat", "torch_linear_uniform",
-           "zeros", "constant"]
+__all__ = ["xavier_uniform", "xavier_uniform_flat",
+           "xavier_uniform_stacked", "normal_unit",
+           "torch_linear_uniform", "zeros", "constant"]
 
 
 def _torch_fans(shape):
@@ -72,5 +73,35 @@ def xavier_uniform_flat(nrows, ncols, gain=1.0):
         assert shape == (nrows * ncols,), (shape, nrows, ncols)
         a = gain * math.sqrt(6.0 / (nrows + ncols))
         return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+    return init
+
+
+def xavier_uniform_stacked(gain=1.0):
+    """Per-matrix torch xavier for a LEADING-stacked param [H, in, out]:
+    fans come from the trailing 2 dims only, reproducing H independent
+    xavier_uniform_(gain) matrices (GAT's per-head W ParameterList,
+    /root/reference/models/gat.py:14-16). _torch_fans over the full shape
+    would fold H into both fans and under-scale every entry by sqrt(H)."""
+    import jax
+
+    def init(key, shape, dtype=jnp.float32):
+        assert len(shape) >= 2
+        fan_in, fan_out = shape[-2], shape[-1]
+        a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+    return init
+
+
+def normal_unit():
+    """torch nn.Embedding's DEFAULT init: N(0, 1) — the reference's Linear
+    keeps it for the first-order weight (models/layers.py:27 wraps
+    nn.Embedding(nfeat, 1) and never re-inits), unlike Embedding which is
+    explicitly xavier'd."""
+    import jax
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype)
 
     return init

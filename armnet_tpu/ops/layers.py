@@ -137,16 +137,19 @@ class FeaturesLinear(nn.Module):
         from armnet_tpu.ops.embedding import ONE_HOT_MAX_ROWS
 
         bias = self.param("bias", init.zeros, (1,))
-        # routed through the embedding-bag dispatcher so the weight follows
-        # the same row-sharded collective path as the tables
+        # init parity: the reference's Linear wraps nn.Embedding(nfeat, 1)
+        # and never re-inits it (models/layers.py:27), so the first-order
+        # weight starts N(0, 1) — NOT xavier like the embedding tables
+        # (xavier's sqrt(6/nfeat) bound would start the linear term ~1000x
+        # smaller at Criteo scale and diverge the early training curve).
+        # Routed through the embedding-bag dispatcher so the weight follows
+        # the same row-sharded collective path as the tables.
         if self.nfeat > ONE_HOT_MAX_ROWS:
-            weight = self.param(
-                "weight", init.xavier_uniform_flat(self.nfeat, 1),
-                (self.nfeat,))
+            weight = self.param("weight", init.normal_unit(), (self.nfeat,))
             w = scaled_embedding_lookup(weight, ids, values, nemb=1)
         else:
-            weight = self.param(
-                "weight", init.xavier_uniform(), (self.nfeat, 1))
+            weight = self.param("weight", init.normal_unit(),
+                                (self.nfeat, 1))
             w = scaled_embedding_lookup(weight, ids, values)    # [B, F, 1]
         return jnp.sum(w[..., 0], axis=1) + bias[0]             # [B]
 

@@ -60,7 +60,10 @@ def test_dp_only_mesh_trainer(quiet_logger):
     va = BatchIterator(SyntheticDataset(256, seed=1), 64, False)
     te = BatchIterator(SyntheticDataset(256, seed=2), 64, False)
     trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
-    best_valid, _ = trainer.fit(epochs=6, patience=10)
+    # 10 epochs (was 6): FeaturesLinear now starts N(0,1) for reference
+    # init parity (r4), which takes a few extra epochs to settle on this
+    # tiny synthetic task — the reference's own fm starts the same way
+    best_valid, _ = trainer.fit(epochs=10, patience=10)
     assert best_valid > 0.95
 
 
