@@ -23,6 +23,8 @@ reference implementation runs on this machine.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 # Reference (torch CPU, this host, same recipe) examples/s — see docstring.
@@ -34,7 +36,52 @@ CHAIN_LONG = 11
 REPS = 3
 
 
+def wait_for_backend():
+    """Ride out a wedged TPU tunnel before committing to the real run.
+
+    Failure mode (BENCH_NOTES.md, r3/r4): a TPU client killed mid-operation
+    leaves the axon pool grant held; the next client either hangs in PJRT
+    init waiting for the grant or fast-fails UNAVAILABLE. BENCH_r03.json was
+    an rc=1 crash for exactly this reason. Recovery that works in practice:
+    ONE long-lived probe at a time — a server-side lease expiry hands the
+    grant to the *waiting* client. Probes run in subprocesses so a failed
+    init can't poison this process's jax backend cache; a probe that
+    succeeds exits cleanly and releases the grant for the measurement run.
+
+    Bounded: BENCH_INIT_PROBES attempts (default 2) x BENCH_INIT_PROBE_S
+    seconds (default 900). Healthy-tunnel cost is one ~15 s probe. All
+    diagnostics go to stderr; stdout stays reserved for the one JSON line.
+    """
+    probes = int(os.environ.get("BENCH_INIT_PROBES", "2"))
+    probe_timeout = float(os.environ.get("BENCH_INIT_PROBE_S", "900"))
+    src = ("import jax, jax.numpy as jnp; "
+           "print('DEV', jax.devices()); "
+           "print('OK', float(jnp.sum(jnp.ones((8, 128)))))")
+    for attempt in range(1, probes + 1):
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", src],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            print(f"bench: probe {attempt}/{probes} timed out after "
+                  f"{probe_timeout:.0f}s", file=sys.stderr, flush=True)
+            continue
+        if r.returncode == 0 and "OK" in r.stdout:
+            print(f"bench: backend healthy (probe {attempt}, "
+                  f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+            return
+        print(f"bench: probe {attempt}/{probes} rc={r.returncode}; "
+              f"last stderr line: "
+              f"{(r.stderr.strip().splitlines() or ['<none>'])[-1]}",
+              file=sys.stderr, flush=True)
+        time.sleep(min(60.0, probe_timeout / 4))
+    print("bench: no healthy backend after probes; attempting the run "
+          "anyway", file=sys.stderr, flush=True)
+
+
 def main():
+    wait_for_backend()
     repo = os.path.dirname(os.path.abspath(__file__))
     cache_dir = os.path.join(repo, ".cache", "jax")
     os.makedirs(cache_dir, exist_ok=True)

@@ -36,6 +36,15 @@ stage() {  # stage <name> <timeout_s> <cmd...>
   return 0
 }
 
+# Single host core: a TPU client stalls badly when a CPU-parity sweep is
+# hogging it (BENCH_NOTES tunnel discipline). If a zoo_parity sweep is
+# running, let it drain first (bounded 4 h) rather than contend.
+for i in $(seq 1 240); do
+  pgrep -f "zoo_parity_cpu|zoopar_" >/dev/null || break
+  [ "$i" -eq 1 ] && echo "=== waiting for CPU parity sweep to drain $(date -u)" | tee -a "$LOG"
+  sleep 60
+done
+
 ENV_EXTRA=()
 stage 00_probe 600 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print('health', float(jnp.sum(jnp.ones((8,128)))))"
 grep -q "health" "$LOG" || { echo "TPU unreachable — abort" | tee -a "$LOG"; exit 1; }
