@@ -260,11 +260,19 @@ class Trainer:
                 self.logger.info(
                     f"best valid auc: valid {valid_auc:.4f}, test {test_auc:.4f}")
                 if self.ckpt_dir:
+                    import dataclasses
+                    # the model config rides in the metadata so inference
+                    # (predict.py) can rebuild the exact architecture from
+                    # the checkpoint alone — the reference's save_checkpoint
+                    # (utils/utils.py:109-121) stores only tensors, forcing
+                    # the caller to re-supply every hyperparameter
+                    cfg_dict = (dataclasses.asdict(self.cfg)
+                                if dataclasses.is_dataclass(self.cfg) else {})
                     save_checkpoint(
                         self.ckpt_dir, self.state,
                         extra={"epoch": epoch, "valid_auc": float(valid_auc),
                                "test_auc": float(test_auc),
-                               "seed": self.seed},
+                               "seed": self.seed, "config": cfg_dict},
                         is_best=True)
             else:
                 patience_cnt += 1
