@@ -86,12 +86,16 @@ class Trainer:
     """Owns model/state construction and the epoch/early-stop loop."""
 
     def __init__(self, config, train_loader, val_loader, test_loader, logger,
-                 seed=2025, ckpt_dir=None, mesh=None):
+                 seed=2025, ckpt_dir=None, mesh=None, metrics_path=None):
         self.cfg = config
         self.loaders = (train_loader, val_loader, test_loader)
         self.logger = logger
         self.seed = seed
         self.ckpt_dir = ckpt_dir
+        # structured per-epoch metrics (JSONL, SURVEY.md §5): the reference
+        # only has grep-able text logs; machine-readable rows make the
+        # benchmark/AUC tables reproducible without log scraping
+        self.metrics_path = metrics_path
         self.profile_dir = getattr(config, "profile_dir", None)
         self.overflow_fn = None
         if getattr(config, "debug_nans", False):
@@ -232,7 +236,8 @@ class Trainer:
             profiling = self.profile_dir and epoch == min(1, epochs - 1)
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
-            self.state, _ = run_epoch(
+            epoch_start = time.time()
+            self.state, train_auc = run_epoch(
                 epoch, self.state, train_loader, self.logger,
                 train_step=self.train_step, rng=self.rng,
                 report_freq=report_freq, eval_freq=eval_freq,
@@ -280,6 +285,19 @@ class Trainer:
                 self.logger.info(
                     f"Early stopped, {patience_cnt}-th best auc at epoch "
                     f"{epoch - patience_cnt}")
+            if self.metrics_path:
+                import json
+                row = {"epoch": epoch, "seed": self.seed,
+                       "train": round(float(train_auc), 6),
+                       "valid": round(float(valid_auc), 6),
+                       "test": round(float(test_auc), 6),
+                       "metric": self.metric_name,
+                       "best_valid": round(float(best_valid), 6),
+                       "is_best": patience_cnt == 0,
+                       "time_s": round(time.time() - epoch_start, 3)}
+                with open(self.metrics_path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+
             if patience_cnt >= patience:
                 self.logger.info(
                     f"Final best valid auc {best_valid:.4f}, "

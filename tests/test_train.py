@@ -49,10 +49,13 @@ def quiet_logger():
 def test_training_learns(model, quiet_logger):
     cfg = ExperimentConfig(
         model=model, nfeat=64, nfield=4, nemb=8, h=8, mlp_nlayer=1,
-        mlp_nhid=16, alpha=1.7, lr=0.01, epoch=6, patience=10)
+        mlp_nhid=16, alpha=1.7, lr=0.01, epoch=10, patience=10)
     tr, va, te = make_loaders()
     trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0)
-    best_valid, best_test = trainer.fit(epochs=6, patience=10)
+    # 10 epochs, not 6: the N(0,1) first-order weight (reference init
+    # parity, ops/layers.FeaturesLinear) settles slower on this tiny task —
+    # same adjustment test_trainer_mesh made when the init landed
+    best_valid, best_test = trainer.fit(epochs=10, patience=10)
     assert best_valid > 0.95, f"{model} failed to learn: {best_valid}"
     assert best_test > 0.9
 
@@ -196,3 +199,25 @@ def test_every_preset_parses_and_builds_a_model():
         assert args.exp_name == name
         model = create_model(args)             # registry + config sanity
         assert model is not None
+
+
+def test_metrics_jsonl_rows(tmp_path, quiet_logger):
+    """Structured per-epoch metrics (SURVEY §5): one JSON row per epoch with
+    the split AUCs, best tracking, and wall time."""
+    import json
+
+    cfg = ExperimentConfig(model="fm", nfeat=64, nfield=4, nemb=8, lr=0.01)
+    tr, va, te = make_loaders()
+    path = str(tmp_path / "metrics.jsonl")
+    trainer = Trainer(cfg, tr, va, te, quiet_logger, seed=0,
+                      metrics_path=path)
+    trainer.fit(epochs=3, patience=10)
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 3
+    assert [r["epoch"] for r in rows] == [0, 1, 2]
+    for r in rows:
+        assert set(r) >= {"train", "valid", "test", "best_valid", "is_best",
+                          "metric", "time_s", "seed"}
+        assert 0.0 <= r["valid"] <= 1.0 and r["time_s"] > 0
+    # best_valid is a running max over epochs
+    assert rows[-1]["best_valid"] == max(r["valid"] for r in rows)

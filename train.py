@@ -89,8 +89,13 @@ def main():
         train_loader.epoch = 0
         ckpt_dir = (os.path.join(args.ckpt_dir, exp_name)
                     if args.ckpt_dir else None)
+        # machine-readable per-epoch rows next to stdout.log (process 0 only:
+        # every process computes identical global metrics under SPMD)
+        metrics_path = (os.path.join(args.log_dir, exp_name, "metrics.jsonl")
+                        if jax.process_index() == 0 else None)
         trainer = Trainer(args, train_loader, val_loader, test_loader, logger,
-                          seed=seed, ckpt_dir=ckpt_dir)
+                          seed=seed, ckpt_dir=ckpt_dir,
+                          metrics_path=metrics_path)
         if args.resume:
             trainer.state, extra = load_checkpoint(args.resume, trainer.state)
             logger.info(f"resumed from {args.resume}: {extra}")
