@@ -228,6 +228,10 @@ class Trainer:
         train_loader, val_loader, test_loader = self.loaders
         best_valid, best_test, patience_cnt = 0.0, 0.0, 0
         start = time.time()
+        if self.metrics_path:
+            # one fit = one file: a crash-and-retry of the same exp_name
+            # must not interleave duplicate epoch rows from the stale run
+            open(self.metrics_path, "w").close()
 
         for epoch in range(epochs):
             self.logger.info(f"Epoch [{epoch:3d}/{epochs:3d}]")

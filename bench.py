@@ -75,7 +75,8 @@ def wait_for_backend():
               f"last stderr line: "
               f"{(r.stderr.strip().splitlines() or ['<none>'])[-1]}",
               file=sys.stderr, flush=True)
-        time.sleep(min(60.0, probe_timeout / 4))
+        if attempt < probes:            # no dead sleep after the last probe
+            time.sleep(min(60.0, probe_timeout / 4))
     print("bench: no healthy backend after probes; attempting the run "
           "anyway", file=sys.stderr, flush=True)
 

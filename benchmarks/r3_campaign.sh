@@ -40,7 +40,9 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 # hogging it (BENCH_NOTES tunnel discipline). If a zoo_parity sweep is
 # running, let it drain first (bounded 4 h) rather than contend.
 for i in $(seq 1 240); do
-  pgrep -f "zoo_parity_cpu|zoopar_" >/dev/null || break
+  # anchored to the sweep's entrypoint / exp names: a bare "zoo_parity_cpu"
+  # would also match a tail/jq of the RESULTS json and stall 4h for nothing
+  pgrep -f "zoo_parity_cpu\.py|exp_name zoopar_" >/dev/null || break
   [ "$i" -eq 1 ] && echo "=== waiting for CPU parity sweep to drain $(date -u)" | tee -a "$LOG"
   sleep 60
 done

@@ -32,7 +32,10 @@ from armnet_tpu.utils.config import ExperimentConfig, build_arg_parser
 def _resolve_input(cfg, explicit):
     if explicit:
         return explicit
-    pattern = os.path.join(cfg.data_dir, cfg.dataset, "te*libsvm*")
+    # same canonical pattern as make_dataloaders' pick() — NO trailing
+    # wildcard, or stale '<input>.scores' outputs from earlier predict runs
+    # would match and be parsed as libsvm
+    pattern = os.path.join(cfg.data_dir, cfg.dataset, "te*libsvm")
     hits = sorted(glob.glob(pattern))
     if not hits:
         raise FileNotFoundError(
@@ -40,8 +43,32 @@ def _resolve_input(cfg, explicit):
     return hits[0]
 
 
-def _restore_model_config(cfg, meta, argv):
-    """Fill model hyperparameters from the checkpoint's metadata.
+def _typed_dests(parser, argv):
+    """Dests of the options the user actually typed, resolving argparse
+    prefix abbreviations (--nout must count as an explicit --noutput)."""
+    typed = set()
+    for a in (argv if argv is not None else sys.argv[1:]):
+        if not a.startswith("--"):
+            continue
+        opt = a.split("=")[0]
+        action = parser._option_string_actions.get(opt)
+        if action is not None:
+            typed.add(action.dest)
+            continue
+        matches = {act.dest for s, act in parser._option_string_actions.items()
+                   if s.startswith(opt)}
+        typed |= matches
+    return typed
+
+
+# numerics flags restored alongside the architecture: a bf16-trained model
+# should score with the dtype/backend it trained with unless overridden
+_RESTORED_EXTRAS = ("bf16", "kernels")
+
+
+def _restore_model_config(cfg, meta, parser, argv):
+    """Fill model hyperparameters (+ numerics flags) from the checkpoint's
+    metadata.
 
     Precedence: a flag the user typed on THIS command line wins; everything
     else comes from the checkpoint's recorded training config (so the
@@ -49,11 +76,12 @@ def _restore_model_config(cfg, meta, argv):
     saved = meta.get("config") or {}
     if not saved:
         return cfg
-    typed = {a.split("=")[0].lstrip("-").replace("-", "_")
-             for a in (argv or sys.argv[1:]) if a.startswith("--")}
-    for f in dataclasses.fields(ModelConfig):
-        if f.name in saved and f.name not in typed:
-            cfg = cfg.replace(**{f.name: saved[f.name]})
+    typed = _typed_dests(parser, argv)
+    names = [f.name for f in dataclasses.fields(ModelConfig)]
+    names += list(_RESTORED_EXTRAS)
+    for name in names:
+        if name in saved and name not in typed:
+            cfg = cfg.replace(**{name: saved[name]})
     return cfg
 
 
@@ -87,22 +115,30 @@ def main(argv=None):
     from armnet_tpu.train.metrics import masked_accuracy, masked_roc_auc
     from armnet_tpu.train.step import create_train_state
 
-    set_kernel_backend(cfg.kernels)
-    if cfg.bf16:
-        set_compute_dtype("bfloat16")
-
-    # peek at the metadata sidecar first: the architecture flags must be
-    # final BEFORE the model/state template is built for Orbax to restore into
+    # peek at the metadata sidecar first: the architecture/numerics flags
+    # must be final BEFORE the model/state template is built for Orbax to
+    # restore into. Tag-dir detection mirrors load_checkpoint's guard
+    # (checkpoint.py:86-92): only treat a best/last basename as the tag when
+    # the path does NOT itself contain a tag subdir (a root legitimately
+    # named 'last' stays a root), and never override an explicitly typed
+    # --tag.
     meta_root = os.path.abspath(ckpt)
-    if os.path.basename(meta_root) in ("best", "last"):
-        tag = os.path.basename(meta_root)
+    base = os.path.basename(meta_root)
+    if base in ("best", "last") and not os.path.isdir(
+            os.path.join(meta_root, tag)) and os.path.isdir(meta_root):
+        if "tag" not in _typed_dests(p, argv):
+            tag = base
         meta_root = os.path.dirname(meta_root)
     meta_path = os.path.join(meta_root, f"{tag}.meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    cfg = _restore_model_config(cfg, meta, argv)
+    cfg = _restore_model_config(cfg, meta, p, argv)
+
+    set_kernel_backend(cfg.kernels)
+    if cfg.bf16:
+        set_compute_dtype("bfloat16")
 
     inp = _resolve_input(cfg, inp)
     ds = LibsvmDataset(inp, cfg.nfield)
@@ -110,8 +146,15 @@ def main(argv=None):
 
     model = create_model(cfg)
     first = next(iter(loader))
+    # NOTE: the restore template is a full TrainState, so Adam's mu/nu are
+    # restored too (~2x the param bytes) even though scoring never reads
+    # them — acceptable at these model sizes; a params-only restore needs a
+    # partial-template path in checkpoint.py if it ever matters
     state = create_train_state(model, first, lr=cfg.lr, seed=cfg.seed)
-    state, _ = load_checkpoint(ckpt, state, tag=tag)
+    # pass the RESOLVED root + tag: giving load_checkpoint the raw tag-dir
+    # spelling would re-run its own basename inference and discard an
+    # explicit --tag
+    state, _ = load_checkpoint(meta_root, state, tag=tag)
 
     multiclass = cfg.noutput > 1
 
@@ -162,7 +205,10 @@ def main(argv=None):
     elif len(np.unique(y)) > 1:
         summary["auc"] = round(float(masked_roc_auc(
             logits, labels, masks)), 6)
-    print(json.dumps(summary))
+    # with '-' the scores own stdout; the summary moves to stderr so piped
+    # consumers see exactly one line per row
+    print(json.dumps(summary),
+          file=sys.stderr if outp == "-" else sys.stdout)
     return summary
 
 
