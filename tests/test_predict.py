@@ -87,3 +87,38 @@ def test_predict_explicit_flag_overrides_metadata(tmp_path, quiet_logger):
     with pytest.raises(Exception):
         predict.main(["--ckpt", ckpt, "--input", te_f, "--output", "-",
                       "--nemb", "16", "--batch_size", "64"])
+
+
+def test_predict_multiclass(tmp_path, quiet_logger):
+    """Multiclass (noutput>1) scoring: class-probability rows that sum to 1,
+    accuracy reported instead of AUC."""
+    per = NFEAT // NFIELD
+
+    def write3(path, n, seed):
+        r = np.random.RandomState(seed)
+        with open(path, "w") as f:
+            for _ in range(n):
+                ids = r.randint(0, per, NFIELD) + np.arange(NFIELD) * per
+                y = int(ids[0] % 3)        # 3-class, attributable to field 0
+                f.write(f"{y} " + " ".join(f"{i}:1" for i in ids) + "\n")
+
+    tr_f, te_f = str(tmp_path / "tr.libsvm"), str(tmp_path / "te.libsvm")
+    write3(tr_f, 512, 0)
+    write3(te_f, 200, 1)
+    cfg = ExperimentConfig(model="dnn", nfeat=NFEAT, nfield=NFIELD, nemb=8,
+                           mlp_nlayer=1, mlp_nhid=32, lr=0.03, noutput=3)
+    loaders = [BatchIterator(LibsvmDataset(f, NFIELD, use_cache=False),
+                             64, shuffle=(f == tr_f))
+               for f in (tr_f, te_f, te_f)]
+    trainer = Trainer(cfg, *loaders, quiet_logger, seed=0,
+                      ckpt_dir=str(tmp_path / "ck"))
+    trainer.fit(epochs=8, patience=20)
+
+    out = str(tmp_path / "probs.txt")
+    summary = predict.main(["--ckpt", str(tmp_path / "ck"), "--input", te_f,
+                            "--output", out, "--batch_size", "64"])
+    probs = np.loadtxt(out)
+    assert probs.shape == (200, 3)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    assert "accuracy" in summary and "auc" not in summary
+    assert summary["accuracy"] > 0.8, summary
