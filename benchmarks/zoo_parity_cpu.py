@@ -89,7 +89,7 @@ def main():
     for m in args.models.split(","):
         ref = run_one("ref", m, args.epochs, args.seed, args.timeout)
         ours = run_one("ours", m, args.epochs, args.seed, args.timeout)
-        row = {"model": m,
+        row = {"model": m, "seed": args.seed, "epochs": args.epochs,
                "ref_valid": ref and ref[0], "ref_test": ref and ref[1],
                "ours_valid": ours and ours[0], "ours_test": ours and ours[1]}
         if ref and ours:
@@ -99,11 +99,30 @@ def main():
 
     path = os.path.join(ROOT, "benchmarks", "results",
                         "zoo_parity_cpu.json")
-    json.dump({"what": f"frappe {args.epochs}-epoch single-seed "
-                       f"(seed {args.seed}) convergence parity, torch "
-                       f"reference (CPU) vs this framework (CPU), "
-                       f"identical data/recipe",
-               "rows": rows}, open(path, "w"), indent=1)
+    # MERGE into the existing table keyed on (model, seed, epochs): sweeps
+    # run in installments (timed-out-model reruns, extra seeds) and a plain
+    # overwrite would throw away every earlier installment's rows
+    def key(r):
+        return (r["model"], r.get("seed", 2025), r.get("epochs", 20))
+
+    existing, order = {}, []
+    if os.path.exists(path):
+        try:
+            for r in json.load(open(path)).get("rows", []):
+                existing[key(r)] = r
+                order.append(key(r))
+        except ValueError:
+            pass
+    for r in rows:
+        if key(r) not in existing:
+            order.append(key(r))
+        existing[key(r)] = r
+    json.dump({"what": "frappe convergence parity, torch reference (CPU) vs "
+                       "this framework (CPU), identical data/recipe; one row "
+                       "per (model, seed, epochs), merged across "
+                       "invocations; null = side exceeded the CPU timeout",
+               "rows": [existing[k] for k in order]},
+              open(path, "w"), indent=1)
     print("wrote", path)
 
 
