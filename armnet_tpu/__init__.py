@@ -4,7 +4,7 @@ and scoring framework with the capabilities of nusdbsystem/ARM-Net.
 Layers (bottom-up):
   ops/       pure-jnp op substrate (entmax, embedding-bag, FM, cross, CIN, ...)
   kernels/   hand-written Pallas TPU kernels + jnp twins for CPU testing
-  models/    the full 19-model zoo on the shared substrate (registry here)
+  models/    the full 21-name zoo on the shared substrate (registry here)
   data/      streaming libsvm pipeline (C++ fast parser + numpy fallback)
   parallel/  device mesh, sharding rules, row-sharded embedding + all-to-all
   train/     jitted train/eval steps, epoch driver, metrics, checkpointing
