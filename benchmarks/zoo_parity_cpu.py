@@ -56,12 +56,13 @@ def best_line(out):
         return None
 
 
-def run_one(side, model, epochs, seed, timeout):
-    flags = ["--model", model, "--dataset", "frappe",
+def run_one(side, model, epochs, seed, timeout, dataset="frappe",
+            extra_flags=()):
+    flags = ["--model", model, "--dataset", dataset,
              "--data_dir", os.path.join(ROOT, "data") + "/",
              "--epoch", str(epochs), "--patience", str(epochs),
              "--seed", str(seed),
-             "--exp_name", f"zoopar_{side}_{model}"]
+             "--exp_name", f"zoopar_{side}_{model}"] + list(extra_flags)
     if side == "ref":
         cmd = [sys.executable, "-c", REF_HARNESS] + flags
         cwd = "/tmp"
@@ -83,15 +84,27 @@ def main():
     ap.add_argument("--seed", type=int, default=2025)
     ap.add_argument("--models", type=str, default=",".join(MODELS))
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--dataset", type=str, default="frappe",
+                    help="any bundled libsvm trio (frappe, uci_diabetes)")
+    ap.add_argument("--flags", type=str, default="",
+                    help="extra CLI flags passed verbatim to BOTH sides, "
+                         "e.g. '--nfield 43 --nfeat 369 --h 1'")
     args = ap.parse_args()
+    extra = args.flags.split() if args.flags else []
 
     rows = []
     for m in args.models.split(","):
-        ref = run_one("ref", m, args.epochs, args.seed, args.timeout)
-        ours = run_one("ours", m, args.epochs, args.seed, args.timeout)
+        ref = run_one("ref", m, args.epochs, args.seed, args.timeout,
+                      args.dataset, extra)
+        ours = run_one("ours", m, args.epochs, args.seed, args.timeout,
+                       args.dataset, extra)
         row = {"model": m, "seed": args.seed, "epochs": args.epochs,
                "ref_valid": ref and ref[0], "ref_test": ref and ref[1],
                "ours_valid": ours and ours[0], "ours_test": ours and ours[1]}
+        if args.dataset != "frappe":
+            row["dataset"] = args.dataset
+        if extra:
+            row["flags"] = args.flags
         if ref and ours:
             row["delta_valid"] = round(ours[0] - ref[0], 4)
         print(json.dumps(row), flush=True)
@@ -103,7 +116,8 @@ def main():
     # run in installments (timed-out-model reruns, extra seeds) and a plain
     # overwrite would throw away every earlier installment's rows
     def key(r):
-        return (r["model"], r.get("seed", 2025), r.get("epochs", 20))
+        return (r["model"], r.get("seed", 2025), r.get("epochs", 20),
+                r.get("dataset", "frappe"), r.get("flags", ""))
 
     existing, order = {}, []
     if os.path.exists(path):
