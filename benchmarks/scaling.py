@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(n_devices, batch_per_device, nfeat, nfield, shard_embedding,
-            chain=(1, 6), reps=3):
+            chain=(1, 6), reps=3, exchange="psum"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -64,7 +64,17 @@ def measure(n_devices, batch_per_device, nfeat, nfield, shard_embedding,
                                  init_meters())
         shardings = (state_sh, meters_sh, batch_sh)
 
-    step = make_train_step(shardings=shardings)
+    lookup_cm = None
+    if shardings is not None and shard_embedding:
+        # activate the row-sharded lookup dispatch (psum or DLRM-style a2a)
+        # exactly as the product Trainer does (train/loop.py:178-179)
+        import functools
+
+        from armnet_tpu.ops.embedding import sharded_lookup_context
+        lookup_cm = functools.partial(sharded_lookup_context, mesh, exchange,
+                                      capacity_factor=4.0)
+
+    step = make_train_step(shardings=shardings, lookup_cm=lookup_cm)
     key = jax.random.key(0)
 
     def make_chain(n):
@@ -97,6 +107,8 @@ def main():
     p.add_argument("--nfeat", type=int, default=2_100_000)
     p.add_argument("--nfield", type=int, default=39)
     p.add_argument("--shard_embedding", action="store_true")
+    p.add_argument("--embedding_exchange", type=str, default="psum",
+                   choices=["psum", "a2a"])
     args = p.parse_args()
 
     # this host's axon site hook registers the tunneled TPU regardless of
@@ -117,7 +129,7 @@ def main():
     base = None
     for d in sizes:
         exs = measure(d, args.batch_per_device, args.nfeat, args.nfield,
-                      args.shard_embedding)
+                      args.shard_embedding, exchange=args.embedding_exchange)
         base = base or exs
         eff = exs / (base * d)
         rows.append({"devices": d, "examples_per_sec": round(exs, 1),
