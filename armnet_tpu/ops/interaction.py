@@ -48,14 +48,18 @@ def arm1h_interaction(emb, wk, query, values, alpha, n_iter=50):
     from armnet_tpu.ops.entmax import sparse_normalizer
 
     keys = jnp.einsum("bfe,ed->bfd", emb, wk.astype(emb.dtype))
-    if os.environ.get("ARMNET_ARM1H_LAYOUT", "bof") == "fmajor":
-        # Fields-major twin of the chain below (same trick as the
-        # multi-head path): gates/sparse weights stay [B, F, O] with O
-        # lane-minor (O=128 at the flagship recipe - dense tiles), entmax
-        # normalizes the middle field axis through the kernel's leading-
-        # axis entry, and the exp-cross contracts fields directly. The
-        # [B, O, F] layout materializes F-minor tensors lane-padded
-        # 128/F (~3.3x at F=39) on both sides of the entmax kernel.
+    if os.environ.get("ARMNET_ARM1H_LAYOUT", "fmajor") != "bof":
+        # Fields-major is the PRODUCTION DEFAULT (r5 campaign stages 02/04:
+        # 292.1K/293.0K ex/s vs 274.3K bof baseline, +6.5-6.8% — the same
+        # lane-pad mechanism that won for the multi-head path in r3; layout
+        # parity pinned by test_arm1h_fields_major_layout_matches_bof_math).
+        # Gates/sparse weights stay [B, F, O] with O lane-minor (O=128 at
+        # the flagship recipe - dense tiles), entmax normalizes the middle
+        # field axis through the kernel's leading-axis entry, and the
+        # exp-cross contracts fields directly. The [B, O, F] layout
+        # (ARMNET_ARM1H_LAYOUT=bof) materializes F-minor tensors
+        # lane-padded 128/F (~3.3x at F=39) on both sides of the entmax
+        # kernel.
         d_k = query.shape[-1]
         gates = jnp.einsum("bfd,od->bfo", keys, query) * (d_k ** -0.5)
         sparse = sparse_normalizer(alpha, axis=1, n_iter=n_iter)(gates)

@@ -141,3 +141,24 @@ def test_multihead_fields_major_layout_matches_reference_math():
     out_fm = arm_exp_cross_fmajor(emb, w_fm)                       # [B,KO,E]
     np.testing.assert_allclose(np.asarray(out_fm), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_arm1h_fields_major_layout_matches_bof_math(monkeypatch):
+    """The 1h fields-major layout (production default since r5 — stage 02/04
+    campaign A/B: +6.5-6.8% step throughput vs [B,O,F]) must be numerically
+    identical to the [B,O,F] pipeline (reference armnet_1h.py:25-34 math)."""
+    from armnet_tpu.ops.interaction import arm1h_interaction
+
+    rng = np.random.RandomState(11)
+    B, F, E, d, O = 4, 7, 6, 5, 9
+    emb = jnp.asarray(rng.randn(B, F, E), jnp.float32)
+    wk = jnp.asarray(rng.randn(E, d) * 0.5, jnp.float32)
+    q = jnp.asarray(rng.randn(O, d) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.randn(O, F) * 0.5, jnp.float32)
+
+    monkeypatch.setenv("ARMNET_ARM1H_LAYOUT", "bof")
+    out_bof = arm1h_interaction(emb, wk, q, v, 1.5)
+    monkeypatch.setenv("ARMNET_ARM1H_LAYOUT", "fmajor")
+    out_fm = arm1h_interaction(emb, wk, q, v, 1.5)
+    np.testing.assert_allclose(np.asarray(out_fm), np.asarray(out_bof),
+                               rtol=2e-5, atol=2e-5)
