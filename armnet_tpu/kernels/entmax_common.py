@@ -30,8 +30,14 @@ __all__ = ["pow_inv", "pow_static", "solve_entmax_axis0"]
 # kink). Env overrides for experiments only.
 N_BISECT = int(os.environ.get("ARMNET_ENTMAX_BISECT", 8))
 N_NEWTON = int(os.environ.get("ARMNET_ENTMAX_NEWTON", 6))
-# experimental generic-alpha solver (see solve_entmax_axis0): fastpow warmup
-SOLVER = os.environ.get("ARMNET_ENTMAX_SOLVER", "newton")
+# generic-alpha solver (see solve_entmax_axis0): fastpow warmup + exact
+# Newton polish is the PRODUCTION DEFAULT since r5 — campaign stage 08:
+# newton 244.8K ex/s vs fastpow(12,4) 267.5-273.4K on the Criteo alpha=1.7
+# recipe (+9-12%), and the r4 CPU accuracy sweep
+# (benchmarks/fastpow_accuracy.py, commit 5f01680) showed (12,4) is the
+# smallest newton-equivalent budget. ARMNET_ENTMAX_SOLVER=newton restores
+# the bisect+Newton solver everywhere.
+SOLVER = os.environ.get("ARMNET_ENTMAX_SOLVER", "fastpow")
 N_FAST = int(os.environ.get("ARMNET_ENTMAX_FAST", 12))
 N_POLISH = int(os.environ.get("ARMNET_ENTMAX_POLISH", 4))
 _TINY = 1e-30
