@@ -393,15 +393,21 @@ class BatchIterator:
 
         import jax
 
-        if (os.environ.get("ARMNET_PREFETCH_THREAD", "1") == "1"
+        if (os.environ.get("ARMNET_PREFETCH_THREAD", "0") == "1"
                 and jax.process_count() == 1):
             # Background-thread prefetch (depth 2): the numpy row gather
-            # (~1.3 MB of fancy-indexing per Criteo batch) runs while the
-            # device executes the previous step — numpy releases the GIL
-            # for the gathers, so this overlaps even on a single host
-            # core. Multi-process runs keep the serial path: assembly
-            # order is part of the cross-process contract
-            # (make_array_from_process_local_data on every process).
+            # runs while the device executes the previous step. OFF by
+            # default since r5 — the real-training A/B (campaign stage 11,
+            # frappe 3 epochs on TPU) measured the thread 2.2x SLOWER
+            # end-to-end (36 s serial vs 79 s threaded): on this single
+            # host core the thread contends with the dispatch loop for the
+            # GIL between gathers, and the serial path's one-batch
+            # device_put lookahead below already overlaps transfer with
+            # compute. ARMNET_PREFETCH_THREAD=1 opts back in (multi-core
+            # hosts may still win). Multi-process runs always keep the
+            # serial path: assembly order is part of the cross-process
+            # contract (make_array_from_process_local_data on every
+            # process).
             yield from self._iter_threaded(order, nb, step)
             return
         # one-batch lookahead: device_put of batch k+1 overlaps step k
