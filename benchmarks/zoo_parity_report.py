@@ -22,7 +22,9 @@ def main(path):
     for r in rows:
         if r.get("ref_valid") is None or r.get("ours_valid") is None:
             continue
-        by_model.setdefault(r["model"], []).append(r)
+        key = (r["model"] + ("@" + r["dataset"] if r.get("dataset")
+               else ""))
+        by_model.setdefault(key, []).append(r)
 
     def stats(vals):
         m = sum(vals) / len(vals)
@@ -31,7 +33,7 @@ def main(path):
         var = sum((v - m) ** 2 for v in vals) / (len(vals) - 1)
         return m, math.sqrt(var)
 
-    print(f"{'model':8s} {'n':>2s} {'ref valid':>16s} {'ours valid':>16s} "
+    print(f"{'model':16s} {'n':>2s} {'ref valid':>16s} {'ours valid':>16s} "
           f"{'gap':>8s}  verdict")
     for model in sorted(by_model):
         rs = by_model[model]
@@ -47,7 +49,7 @@ def main(path):
             verdict = ("match" if abs(gap) <= max(0.01, 2 * combined)
                        else f"GAP (>{max(0.01, 2 * combined):.4f})")
             fmt = lambda m, s: f"{m:.4f} ± {s:.4f}"
-        print(f"{model:8s} {len(rs):2d} {fmt(ref_m, ref_s):>16s} "
+        print(f"{model:16s} {len(rs):2d} {fmt(ref_m, ref_s):>16s} "
               f"{fmt(our_m, our_s):>16s} {gap:+8.4f}  {verdict}")
 
     timeouts = sorted({r["model"] for r in rows
