@@ -30,11 +30,6 @@ for s in 1 42; do
     --epochs 20 --seed "$s" --models afm,lr,afn,sa_glu,cin --timeout 2400
 done
 
-# 3. the gat reference row never completed at the 900 s timeout; give the
-#    torch side room (its CPU attention stack is the slow part)
-stage 03_gat 14400 python -u benchmarks/zoo_parity_cpu.py \
-  --epochs 20 --seed 2025 --models gat --timeout 7200
-
 # 4. uci_diabetes — the one reference recipe family never exercised
 #    (VERDICT #5): DB_armnet geometry (/root/reference/run.sh:22, stale
 #    --nlayer flag corrected to --mlp_nlayer), bundled tr/va/te, F=43
@@ -58,5 +53,10 @@ for ex in psum a2a; do
     python -u benchmarks/scaling.py --max_devices 8 --batch_per_device 256 \
     --nfeat 200000 --shard_embedding --embedding_exchange "$ex"
 done
+
+# 7 (LAST: can eat hours). the gat reference row never completed at the 900 s timeout; give the
+#    torch side room (its CPU attention stack is the slow part)
+stage 03_gat 14400 python -u benchmarks/zoo_parity_cpu.py \
+  --epochs 20 --seed 2025 --models gat --timeout 7200
 
 echo "=== cpu queue done $(date -u)" | tee -a "$LOG"
