@@ -73,6 +73,20 @@ _REGISTRY = {
 
 MODEL_NAMES = tuple(sorted(_REGISTRY))
 
+# per-step stored-parameter mutations, mirroring reference models that
+# mutate weights outside autograd each forward (torch .data ops). The
+# trainer applies these to state.params at the head of every train/eval
+# step so gradient geometry matches the reference exactly.
+_PARAM_TRANSFORMS = {}
+
+
+def param_transform_for(name):
+    """The param mutation for a model name, or None."""
+    if not _PARAM_TRANSFORMS:
+        from armnet_tpu.models import afn as _afn
+        _PARAM_TRANSFORMS["afn"] = _afn.embedding_positivity
+    return _PARAM_TRANSFORMS.get(name)
+
 
 # models whose head is structurally a scalar (first/second-order sums with no
 # MLP): binary-only, like the reference main branch

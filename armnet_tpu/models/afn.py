@@ -3,13 +3,20 @@ positivity-constrained embedding, a learned F->h linear in log space, exp back,
 BN at both ends, then an MLP; optional DNN ensemble
 (spec: /root/reference/models/afn.py).
 
-Positivity: the reference mutates the embedding table in place each forward
-(abs then clamp min 1e-4). Functionally we reparametrize: the *effective*
-table read in the forward pass is clip(|W|, 1e-4, inf) — identical forward
-values. The clamp is STRAIGHT-THROUGH (stop_gradient on the clip delta):
-a plain clip would zero the gradient for every |W| < 1e-4, an absorbing
-dead zone the reference doesn't have (its no_grad mutation keeps clamped
-weights fully trainable — grads flow at the clamped value)."""
+Positivity: the reference mutates the embedding table IN PLACE each forward
+(abs then clamp min 1e-4, under no_grad — afn.py:74-78), so its gradients
+and Adam act on the already-positive stored weights with IDENTITY geometry.
+r5 finding (zoo convergence sweep): a straight-through reparametrization
+(forward clip(|W|), backward through sign(W)) has the same forward but
+materially different training dynamics — the signed weight oscillates
+around 0 and valid AUC DEGRADES after epoch ~3 while the reference keeps
+climbing (curves in BENCH_NOTES r5). Torch-exact semantics here:
+`embedding_positivity` (below) is applied to the STORED params at the head
+of every train/eval step (train/step.py param_transform), after which the
+in-forward clampabs is a numerical no-op with identity gradient — exactly
+the reference's geometry. The forward keeps the clampabs so standalone
+applies (transplant tests, predict.py) see reference-identical values on
+any params."""
 
 import flax.linen as nn
 import jax
@@ -19,6 +26,16 @@ from armnet_tpu.models.common import VALUE_CLAMP, DeepEnsemble, split_batch, squ
 from armnet_tpu.ops import initializers as init
 from armnet_tpu.ops.embedding import scaled_embedding_lookup
 from armnet_tpu.ops.layers import MLP, BatchNorm
+
+
+def embedding_positivity(params):
+    """Torch-exact AFN weight mutation (reference afn.py:74-78): the stored
+    interaction-embedding table becomes max(|W|, 1e-4) before every step.
+    Applied by the trainer as a param_transform; the ensemble's deep table
+    is untouched (the reference clamps only self.embedding)."""
+    params = dict(params)
+    params["embedding"] = jnp.maximum(jnp.abs(params["embedding"]), 1e-4)
+    return params
 
 
 class AFN(nn.Module):
@@ -51,10 +68,11 @@ class AFN(nn.Module):
         else:
             table = self.param("embedding", init.xavier_uniform(),
                                (self.nfeat, self.nemb))
-        w_abs = jnp.abs(table)
-        # straight-through clamp: forward clip(|W|, 1e-4), backward d|W|
-        pos_table = w_abs + jax.lax.stop_gradient(
-            jnp.clip(w_abs, 1e-4, None) - w_abs)
+        # plain clampabs: after the step-level embedding_positivity mutation
+        # the table is already >= 1e-4, so this is an identity with identity
+        # gradient (torch parity); on raw signed params (standalone apply)
+        # it reproduces the reference's forward values
+        pos_table = jnp.maximum(jnp.abs(table), 1e-4)
         emb = scaled_embedding_lookup(pos_table, ids, values,
                                       nemb=self.nemb)             # [B,F,E] > 0
 

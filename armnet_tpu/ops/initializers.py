@@ -55,6 +55,12 @@ def zeros(key, shape, dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
 
 
+def ones(key, shape, dtype=jnp.float32):
+    """All-ones (BatchNorm scale)."""
+    del key
+    return jnp.ones(shape, dtype)
+
+
 def constant(value):
     def init(key, shape, dtype=jnp.float32):
         return jnp.full(shape, value, dtype)

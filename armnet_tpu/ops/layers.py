@@ -75,21 +75,67 @@ class TorchLinear(nn.Module):
         return y
 
 
+class _TorchBN(nn.Module):
+    """torch-exact BatchNorm core. One semantic difference from
+    flax.linen.BatchNorm forced this reimplementation: torch updates
+    running_var with the UNBIASED batch variance (x n/(n-1),
+    functional.py batch_norm) while flax stores the biased estimate —
+    train-mode forwards agree (both normalize by the biased var) but
+    eval-mode logits drift apart, caught by
+    test_afn_trajectory_matches_reference at batch 64 (r5). Param/stat
+    names match flax's ('scale'/'bias', 'mean'/'var') so checkpoints and
+    transplant maps are unchanged."""
+
+    channel_axis: int
+    momentum: float = 0.9          # torch momentum 0.1 == keep 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        ch = self.channel_axis % x.ndim
+        red = tuple(i for i in range(x.ndim) if i != ch)
+        shape = (x.shape[ch],)
+        bshape = tuple(x.shape[ch] if i == ch else 1 for i in range(x.ndim))
+        scale = self.param("scale", init.ones, shape)
+        bias = self.param("bias", init.zeros, shape)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            mean = jnp.mean(xf, red)
+            var = jnp.mean(jnp.square(xf - mean.reshape(bshape)), red)
+            if not self.is_initializing():
+                n = 1
+                for i in red:
+                    n *= x.shape[i]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x - mean.reshape(bshape).astype(x.dtype)) \
+            * inv.reshape(bshape).astype(x.dtype) \
+            + bias.reshape(bshape).astype(x.dtype)
+        return y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch defaults. `channel_axis` is the torch channel dim
-    (normalize over every other axis)."""
+    (normalize over every other axis). Inner module keeps the historical
+    'BatchNorm_0' tree name."""
 
     channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis=self.channel_axis,
-            dtype=x.dtype,
-        )(x)
+        return _TorchBN(self.channel_axis, name="BatchNorm_0")(
+            x, use_running_average=not train)
 
 
 class Embedding(nn.Module):

@@ -216,12 +216,16 @@ class Trainer:
         self.task = ("multiclass" if getattr(config, "noutput", 1) > 1
                      else "binary")
         _, _, self.metric_name = task_fns(self.task)
+        from armnet_tpu.models import param_transform_for
+        ptrans = param_transform_for(config.model)
         self.train_step = make_train_step(shardings=shardings,
                                           lookup_cm=lookup_cm, task=self.task,
-                                          overflow_fn=self.overflow_fn)
+                                          overflow_fn=self.overflow_fn,
+                                          param_transform=ptrans)
         self.eval_step = make_eval_step(shardings=shardings,
                                         lookup_cm=lookup_cm, task=self.task,
-                                        overflow_fn=self.overflow_fn)
+                                        overflow_fn=self.overflow_fn,
+                                        param_transform=ptrans)
         self.rng = jax.random.key(seed + 7)
 
     def fit(self, epochs, patience=1, eval_freq=10000, report_freq=30):

@@ -79,7 +79,7 @@ def _update_meters(meters, loss, auc, n, overflow=None):
 
 
 def make_train_step(donate=False, shardings=None, lookup_cm=None,
-                    task="binary", overflow_fn=None):
+                    task="binary", overflow_fn=None, param_transform=None):
     """Build the jitted training step: fwd -> BCE -> bwd -> clip -> Adam,
     plus on-device AUC on the pre-update logits (reference run() parity).
     Metrics fold into device-side meters; nothing blocks the dispatch queue.
@@ -90,10 +90,17 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None,
     lookup_cm: optional zero-arg contextmanager entered around every call so
     the sharded-embedding dispatch is active at trace time.
     overflow_fn: optional (ids, mask) -> scalar counting a2a capacity-overflow drops of REAL rows
-    this batch (folded into the overflow meter; see embedding_parallel)."""
+    this batch (folded into the overflow meter; see embedding_parallel).
+    param_transform: optional params -> params mutation applied to the STORED
+    weights at the head of every step — the functional twin of reference
+    models that mutate .data outside autograd each forward (AFN's
+    positivity clamp, models/afn.py); gradients and Adam then act on the
+    mutated values with identity geometry, exactly like torch."""
     loss_metric, quality_metric, _ = task_fns(task)
 
     def train_step(state, meters, batch, rng):
+        if param_transform is not None:
+            state = state.replace(params=param_transform(state.params))
         dropout_key = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -140,13 +147,15 @@ def _with_lookup_cm(jitted, lookup_cm):
 
 
 def make_eval_step(shardings=None, lookup_cm=None, task="binary",
-                   overflow_fn=None):
+                   overflow_fn=None, param_transform=None):
     """Jitted eval step: frozen batch_stats, no dropout."""
     loss_metric, quality_metric, _ = task_fns(task)
 
     def eval_step(state, meters, batch):
+        params = (param_transform(state.params)
+                  if param_transform is not None else state.params)
         logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             {"id": batch["id"], "value": batch["value"]}, train=False)
         loss = loss_metric(logits, batch["y"], batch["mask"])
         auc = quality_metric(logits, batch["y"], batch["mask"])

@@ -11,7 +11,8 @@ steps on the SAME batch sequence in both frameworks. If the trajectories
 agree to float tolerance, every gap left in the convergence table is RNG,
 not semantics.
 
-dropout=0 and no BatchNorm in either model, so the steps are deterministic.
+dropout=0 so the steps are deterministic (afn has BatchNorm: batch-stats
+semantics are part of what the test pins).
 """
 
 import os
@@ -45,18 +46,21 @@ def _batches(nsteps, bsz=64, seed=7):
     return out
 
 
-def _run_ours(name, batches):
+def _run_ours(name, batches, cfg_kw=None):
     import jax.numpy as jnp
 
+    from armnet_tpu.models import param_transform_for
+
     cfg = ModelConfig(model=name, nfeat=NFEAT, nfield=NFIELD, nemb=NEMB,
-                      h=6, dropout=0.0)
+                      h=6, dropout=0.0, **(cfg_kw or {}))
     model = create_model(cfg)
     b0 = {"id": jnp.asarray(batches[0]["id"], jnp.int32),
           "value": jnp.asarray(batches[0]["value"]),
           "y": jnp.asarray(batches[0]["y"]),
           "mask": jnp.ones((batches[0]["y"].shape[0],), jnp.float32)}
     state = create_train_state(model, b0, lr=LR, seed=0)
-    step = make_train_step()
+    ptrans = param_transform_for(name)
+    step = make_train_step(param_transform=ptrans)
     meters = init_meters()
     losses = []
     key = jax.random.key(0)
@@ -67,14 +71,16 @@ def _run_ours(name, batches):
               "mask": jnp.ones((b["y"].shape[0],), jnp.float32)}
         state, meters = step(state, meters, jb, key)
         losses.append(float(meters["loss_last"]))
-    # eval-mode logits on the first batch after training
-    logits = model.apply({"params": state.params,
+    # eval-mode logits on the first batch after training (param mutation
+    # applied like the product eval step does)
+    eval_params = ptrans(state.params) if ptrans else state.params
+    logits = model.apply({"params": eval_params,
                           "batch_stats": state.batch_stats},
                          {"id": b0["id"], "value": b0["value"]}, train=False)
     return state, np.asarray(losses), np.asarray(logits)
 
 
-def _run_ref(name, init_sd, batches):
+def _run_ref(name, init_sd, batches, ns_kw=None):
     import logging
 
     import torch
@@ -87,6 +93,8 @@ def _run_ref(name, init_sd, batches):
                            k=3, h=6, mlp_nlayer=2, mlp_nhid=16, dropout=0.0,
                            nattn_head=2, ensemble=False, dnn_nlayer=1,
                            dnn_nhid=12, alpha=1.7)
+    for k, v in (ns_kw or {}).items():
+        setattr(a, k, v)
     plogger = logging.getLogger(f"traj_{name}")
     plogger.addHandler(logging.NullHandler())
     ref = ref_create(a, plogger)
@@ -176,3 +184,58 @@ def test_afm_trajectory_matches_reference():
 
     np.testing.assert_allclose(ours_losses, ref_losses, atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(ours_logits, ref_logits, atol=5e-3, rtol=5e-3)
+
+
+def test_afn_trajectory_matches_reference():
+    """25 identical Adam steps on AFN: the reference mutates its embedding
+    table in place every forward (abs + clamp 1e-4, afn.py:74-78) — the r5
+    zoo sweep showed a straight-through reparametrization of that clamp has
+    the same forward but DIVERGING training dynamics (valid AUC degrades
+    after ~3 epochs while the reference climbs). This pins the torch-exact
+    param_transform semantics (models/afn.py embedding_positivity).
+
+    Tolerances: in float64 the two sides are bit-faithful (train-mode logits
+    agree to 7e-15, BN running-stat updates to 2e-15; one-off audit, r5).
+    In float32 the trajectory is chaotic — scatter-add summation order
+    perturbs grads ~1e-3 near the +-1 clip boundary, Adam's step-1 update
+    is sign(g)*lr (sign flips on noise), and AFN's log->linear->exp core
+    amplifies — so this test runs 10 steps (vs 25 for the smooth models)
+    to keep the drift bounded and the tolerances meaningful."""
+    import torch
+
+    batches = _batches(10, seed=13)
+    cfg_kw = {"mlp_nlayer": 1, "mlp_nhid": 16}
+    state, ours_losses, ours_logits = _run_ours("afn", batches, cfg_kw)
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    import jax.numpy as jnp
+    cfg = ModelConfig(model="afn", nfeat=NFEAT, nfield=NFIELD, nemb=NEMB,
+                      h=6, dropout=0.0, **cfg_kw)
+    model = create_model(cfg)
+    b0 = {"id": jnp.asarray(batches[0]["id"], jnp.int32),
+          "value": jnp.asarray(batches[0]["value"])}
+    v0 = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, b0, train=False)
+    p = v0["params"]
+    sd = {"embedding.embedding.weight": t(p["embedding"]),
+          "emb_bn.weight": t(p["emb_bn"]["BatchNorm_0"]["scale"]),
+          "emb_bn.bias": t(p["emb_bn"]["BatchNorm_0"]["bias"]),
+          "afn.weight": t(p["afn_kernel"].T),
+          "afn.bias": t(p["afn_bias"]),
+          "afn_bn.weight": t(p["afn_bn"]["BatchNorm_0"]["scale"]),
+          "afn_bn.bias": t(p["afn_bn"]["BatchNorm_0"]["bias"])}
+    m = p["mlp"]
+    sd["mlp.mlp.0.weight"] = t(m["TorchLinear_0"]["kernel"].T)
+    sd["mlp.mlp.0.bias"] = t(m["TorchLinear_0"]["bias"])
+    sd["mlp.mlp.1.weight"] = t(m["BatchNorm_0"]["BatchNorm_0"]["scale"])
+    sd["mlp.mlp.1.bias"] = t(m["BatchNorm_0"]["BatchNorm_0"]["bias"])
+    sd["mlp.mlp.4.weight"] = t(m["TorchLinear_1"]["kernel"].T)
+    sd["mlp.mlp.4.bias"] = t(m["TorchLinear_1"]["bias"])
+    ref_losses, ref_logits = _run_ref("afn", sd, batches,
+                                      ns_kw={"mlp_nlayer": 1,
+                                             "mlp_nhid": 16})
+
+    np.testing.assert_allclose(ours_losses, ref_losses, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=8e-2, rtol=8e-2)
