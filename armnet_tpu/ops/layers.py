@@ -18,6 +18,8 @@ Torch-semantics notes baked in:
 """
 
 import math
+import threading
+from contextlib import contextmanager
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -31,8 +33,37 @@ from armnet_tpu.ops.embedding import scaled_embedding_lookup
 __all__ = [
     "Embedding", "FeaturesLinear", "fm_pool", "MLP", "BatchNorm",
     "SelfAttnLayer", "MultiHeadAttention", "triu_indices", "all_pair_indices",
-    "normalize_adj", "TorchLinear",
+    "normalize_adj", "TorchLinear", "batch_mask_scope",
 ]
+
+# trace-time batch-mask context (same pattern as the sharded-lookup context,
+# ops/embedding.py): the train step enters this scope around the model apply
+# so BatchNorm can compute MASKED batch statistics. Why: XLA needs static
+# shapes, so the loader pads the final partial batch to B with mask-0 rows
+# (data/libsvm.py:305-322) — the torch reference's last batch is genuinely
+# SMALL, so its BN statistics see only real rows. Unmasked stats over the
+# padded batch are polluted by the pad rows (r5 audit: AFN's value-clamp
+# turns a pad row into log(W*1e-3), a -6.9 outlier per element; with a ~40%
+# padded last batch the emb_bn running mean absorbed it every epoch at
+# momentum 0.1, and valid AUC DECAYED while batch-stats eval kept climbing
+# — running=0.9147 vs batchstats=0.9377 at epoch 7, /tmp probe, BENCH_NOTES
+# r5). Masked stats restore exact parity for real rows.
+_batch_mask = threading.local()
+
+
+@contextmanager
+def batch_mask_scope(mask):
+    """Expose the batch validity mask [B] to BatchNorm during an apply."""
+    prev = getattr(_batch_mask, "value", None)
+    _batch_mask.value = mask
+    try:
+        yield
+    finally:
+        _batch_mask.value = prev
+
+
+def current_batch_mask():
+    return getattr(_batch_mask, "value", None)
 
 
 def triu_indices(n, diag_offset=1):
@@ -107,13 +138,33 @@ class _TorchBN(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-            mean = jnp.mean(xf, red)
-            var = jnp.mean(jnp.square(xf - mean.reshape(bshape)), red)
-            if not self.is_initializing():
+            mask = current_batch_mask()
+            if (mask is not None and ch != 0
+                    and mask.shape[0] == x.shape[0]):
+                # masked statistics: the loader pads the final partial batch
+                # with mask-0 rows (static shapes for XLA); the torch
+                # reference's last batch is genuinely small, so parity
+                # demands the pad rows contribute NOTHING to batch stats
+                # (see batch_mask_scope above). n is the real element count
+                # (dynamic scalar — fine under jit).
+                spatial = 1
+                for i in red:
+                    if i != 0:
+                        spatial *= x.shape[i]
+                w = mask.astype(xf.dtype).reshape(
+                    (x.shape[0],) + (1,) * (x.ndim - 1))
+                n = jnp.maximum(jnp.sum(mask.astype(xf.dtype)), 1) * spatial
+                mean = jnp.sum(xf * w, red) / n
+                var = jnp.sum(jnp.square(xf - mean.reshape(bshape)) * w,
+                              red) / n
+            else:
                 n = 1
                 for i in red:
                     n *= x.shape[i]
-                unbiased = var * (n / max(n - 1, 1))
+                mean = jnp.mean(xf, red)
+                var = jnp.mean(jnp.square(xf - mean.reshape(bshape)), red)
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value

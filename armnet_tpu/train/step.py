@@ -15,6 +15,7 @@ import jax
 import optax
 from flax.training import train_state
 
+from armnet_tpu.ops.layers import batch_mask_scope
 from armnet_tpu.train.metrics import (masked_accuracy, masked_bce,
                                       masked_roc_auc, masked_softmax_ce)
 
@@ -104,11 +105,15 @@ def make_train_step(donate=False, shardings=None, lookup_cm=None,
         dropout_key = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            logits, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                {"id": batch["id"], "value": batch["value"]},
-                train=True, rngs={"dropout": dropout_key},
-                mutable=["batch_stats"])
+            # batch_mask_scope: BatchNorm computes MASKED batch statistics so
+            # the padded final batch matches the reference's genuinely-small
+            # last batch (see ops/layers.py batch_mask_scope)
+            with batch_mask_scope(batch["mask"]):
+                logits, updates = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    {"id": batch["id"], "value": batch["value"]},
+                    train=True, rngs={"dropout": dropout_key},
+                    mutable=["batch_stats"])
             loss = loss_metric(logits, batch["y"], batch["mask"])
             return loss, (logits, updates)
 

@@ -162,3 +162,42 @@ def test_arm1h_fields_major_layout_matches_bof_math(monkeypatch):
     out_fm = arm1h_interaction(emb, wk, q, v, 1.5)
     np.testing.assert_allclose(np.asarray(out_fm), np.asarray(out_bof),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_batchnorm_masked_stats_match_torch_small_batch():
+    """BN running stats over a PADDED batch inside batch_mask_scope must
+    equal torch BN over the equivalent genuinely-small batch. This is the
+    r5 pad-pollution fix: the loader pads the last partial batch to B with
+    mask-0 rows (frappe: 378 real + 3718 pad) and unmasked statistics let
+    those rows poison the running mean/var every epoch — valid AUC decayed
+    while batch-stats eval climbed (probe in BENCH_NOTES r5)."""
+    import torch
+
+    from armnet_tpu.ops.layers import BatchNorm, batch_mask_scope
+
+    rng = np.random.RandomState(5)
+    B, C, L, real = 16, 6, 4, 11
+    x = rng.randn(B, C, L).astype(np.float32) * 2.0 + 1.0
+    x[real:] = -7.5  # poison rows: obviously wrong if they leak into stats
+    mask = np.zeros((B,), np.float32)
+    mask[:real] = 1.0
+
+    mod = BatchNorm(channel_axis=1)
+    v = mod.init(jax.random.key(0), jnp.asarray(x), True)
+    with batch_mask_scope(jnp.asarray(mask)):
+        y, upd = mod.apply(v, jnp.asarray(x), True, mutable=["batch_stats"])
+
+    tbn = torch.nn.BatchNorm1d(C)
+    tbn.train()
+    ty = tbn(torch.tensor(x[:real]))
+
+    stats = upd["batch_stats"]["BatchNorm_0"]
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # real rows' train-mode outputs match torch's small-batch normalize
+    np.testing.assert_allclose(np.asarray(y)[:real], ty.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)

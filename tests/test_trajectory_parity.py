@@ -239,3 +239,48 @@ def test_afn_trajectory_matches_reference():
 
     np.testing.assert_allclose(ours_losses, ref_losses, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(ours_logits, ref_logits, atol=8e-2, rtol=8e-2)
+
+
+def test_dnn_trajectory_matches_reference():
+    """25 identical Adam steps on DNN (embedding -> MLP with BatchNorm):
+    pins the torch-exact BN running-stat semantics (_TorchBN: unbiased
+    running variance) through the MLP path every deep model shares —
+    eval-mode logits read the running stats, so a biased-var store (the
+    flax default this repo moved off in r5) fails this test.
+
+    10 steps, like the afn test: embedding-bag backward carries repeated-id
+    summation-order noise that Adam's step-1 sign(g) behavior amplifies
+    into per-param drift (audit r5: after 25 steps run_var still matches to
+    4e-6 while chaotic weight drift reaches ~1e-2)."""
+    import torch
+
+    batches = _batches(10, seed=17)
+    cfg_kw = {"mlp_nlayer": 1, "mlp_nhid": 16}
+    state, ours_losses, ours_logits = _run_ours("dnn", batches, cfg_kw)
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    import jax.numpy as jnp
+    cfg = ModelConfig(model="dnn", nfeat=NFEAT, nfield=NFIELD, nemb=NEMB,
+                      h=6, dropout=0.0, **cfg_kw)
+    model = create_model(cfg)
+    b0 = {"id": jnp.asarray(batches[0]["id"], jnp.int32),
+          "value": jnp.asarray(batches[0]["value"])}
+    v0 = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, b0, train=False)
+    p = v0["params"]
+    sd = {"embedding.embedding.weight": t(p["embedding"]["embedding"])}
+    m = p["mlp"]
+    sd["mlp.mlp.0.weight"] = t(m["TorchLinear_0"]["kernel"].T)
+    sd["mlp.mlp.0.bias"] = t(m["TorchLinear_0"]["bias"])
+    sd["mlp.mlp.1.weight"] = t(m["BatchNorm_0"]["BatchNorm_0"]["scale"])
+    sd["mlp.mlp.1.bias"] = t(m["BatchNorm_0"]["BatchNorm_0"]["bias"])
+    sd["mlp.mlp.4.weight"] = t(m["TorchLinear_1"]["kernel"].T)
+    sd["mlp.mlp.4.bias"] = t(m["TorchLinear_1"]["bias"])
+    ref_losses, ref_logits = _run_ref("dnn", sd, batches,
+                                      ns_kw={"mlp_nlayer": 1,
+                                             "mlp_nhid": 16})
+
+    np.testing.assert_allclose(ours_losses, ref_losses, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=1e-2, rtol=1e-2)
