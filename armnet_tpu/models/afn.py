@@ -6,17 +6,20 @@ BN at both ends, then an MLP; optional DNN ensemble
 Positivity: the reference mutates the embedding table IN PLACE each forward
 (abs then clamp min 1e-4, under no_grad — afn.py:74-78), so its gradients
 and Adam act on the already-positive stored weights with IDENTITY geometry.
-r5 finding (zoo convergence sweep): a straight-through reparametrization
-(forward clip(|W|), backward through sign(W)) has the same forward but
-materially different training dynamics — the signed weight oscillates
-around 0 and valid AUC DEGRADES after epoch ~3 while the reference keeps
-climbing (curves in BENCH_NOTES r5). Torch-exact semantics here:
-`embedding_positivity` (below) is applied to the STORED params at the head
-of every train/eval step (train/step.py param_transform), after which the
-in-forward clampabs is a numerical no-op with identity gradient — exactly
-the reference's geometry. The forward keeps the clampabs so standalone
-applies (transplant tests, predict.py) see reference-identical values on
-any params."""
+Torch-exact semantics here: `embedding_positivity` (below) is applied to
+the STORED params at the head of every train/eval step (train/step.py
+param_transform), after which the in-forward clampabs is a numerical no-op
+with identity gradient — exactly the reference's geometry. (An earlier
+straight-through reparametrization of the clamp is mirror-equivalent for
+weights that never cross the clamp boundary — Adam's per-coordinate updates
+are sign-symmetric — so this change alone moved the 20-epoch AUC little;
+it is kept because it is exact rather than almost-exact, pinned by
+test_afn_trajectory_matches_reference.) The r5 convergence gap itself
+(-0.018 valid AUC, 3 seeds) was BN running-stat pollution from the padded
+last batch — AFN's log path amplifies pad rows into -6.9-per-element
+outliers — fixed by masked BN statistics (ops/layers.py batch_mask_scope).
+The forward keeps the clampabs so standalone applies (transplant tests,
+predict.py) see reference-identical values on any params."""
 
 import flax.linen as nn
 import jax

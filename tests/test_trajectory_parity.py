@@ -187,12 +187,11 @@ def test_afm_trajectory_matches_reference():
 
 
 def test_afn_trajectory_matches_reference():
-    """25 identical Adam steps on AFN: the reference mutates its embedding
-    table in place every forward (abs + clamp 1e-4, afn.py:74-78) — the r5
-    zoo sweep showed a straight-through reparametrization of that clamp has
-    the same forward but DIVERGING training dynamics (valid AUC degrades
-    after ~3 epochs while the reference climbs). This pins the torch-exact
-    param_transform semantics (models/afn.py embedding_positivity).
+    """10 identical Adam steps on AFN: the reference mutates its embedding
+    table in place every forward (abs + clamp 1e-4, afn.py:74-78). This
+    pins the torch-exact param_transform semantics (models/afn.py
+    embedding_positivity) and the BN batch-stat updates along the
+    log->linear->exp path.
 
     Tolerances: in float64 the two sides are bit-faithful (train-mode logits
     agree to 7e-15, BN running-stat updates to 2e-15; one-off audit, r5).
