@@ -303,7 +303,17 @@ class BatchIterator:
 
     def _rows(self, idx, lo, hi):
         """Materialize rows [lo, hi) of the padded fixed-shape batch whose
-        real rows are idx (padding rows are zeros with mask 0)."""
+        real rows are idx (padding rows: id 0, value 1.0, mask 0).
+
+        Pad VALUES are 1.0, not 0.0, so a pad row embeds to a real table
+        row and every downstream activation stays in-distribution and
+        bounded — with value 0 the models that clamp values to [1e-3, 1]
+        (armnet/afn/gc_arm/sa_glu) turn each pad element into a log-space
+        outlier (log(W*1e-3) ~ -6.9), which is exactly the class of junk
+        the r5 masked-BN fix keeps out of batch statistics, and an
+        unbounded pad activation could overflow to inf and NaN-poison
+        gradients (inf * 0 cotangent). Pad rows still contribute nothing:
+        mask 0 excludes them from loss/metrics/BN stats."""
         take = idx[lo:min(hi, idx.shape[0])]
         n = take.shape[0]
         size = hi - lo
@@ -316,7 +326,7 @@ class BatchIterator:
             ids = np.concatenate(
                 [ids, np.zeros((pad, self.ds.nfield), np.int32)])
             values = np.concatenate(
-                [values, np.zeros((pad, self.ds.nfield), np.float32)])
+                [values, np.ones((pad, self.ds.nfield), np.float32)])
             y = np.concatenate([y, np.zeros((pad,), np.float32)])
             mask[n:] = 0.0
         return {"id": ids, "value": values, "y": y, "mask": mask}

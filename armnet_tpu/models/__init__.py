@@ -6,6 +6,7 @@ depth)."""
 
 from armnet_tpu.models.afm import AFM
 from armnet_tpu.models.afn import AFN
+from armnet_tpu.models.afn import embedding_positivity as _afn_embedding_positivity
 from armnet_tpu.models.armnet import ARMNet
 from armnet_tpu.models.armnet_1h import ARMNet1H
 from armnet_tpu.models.config import ModelConfig
@@ -75,16 +76,14 @@ MODEL_NAMES = tuple(sorted(_REGISTRY))
 
 # per-step stored-parameter mutations, mirroring reference models that
 # mutate weights outside autograd each forward (torch .data ops). The
-# trainer applies these to state.params at the head of every train/eval
-# step so gradient geometry matches the reference exactly.
-_PARAM_TRANSFORMS = {}
+# trainer applies these to state.params at the head of every train step
+# (and once per eval pass) so gradient geometry matches the reference
+# exactly.
+_PARAM_TRANSFORMS = {"afn": _afn_embedding_positivity}
 
 
 def param_transform_for(name):
     """The param mutation for a model name, or None."""
-    if not _PARAM_TRANSFORMS:
-        from armnet_tpu.models import afn as _afn
-        _PARAM_TRANSFORMS["afn"] = _afn.embedding_positivity
     return _PARAM_TRANSFORMS.get(name)
 
 

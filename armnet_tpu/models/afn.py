@@ -71,11 +71,16 @@ class AFN(nn.Module):
         else:
             table = self.param("embedding", init.xavier_uniform(),
                                (self.nfeat, self.nemb))
-        # plain clampabs: after the step-level embedding_positivity mutation
-        # the table is already >= 1e-4, so this is an identity with identity
-        # gradient (torch parity); on raw signed params (standalone apply)
-        # it reproduces the reference's forward values
-        pos_table = jnp.maximum(jnp.abs(table), 1e-4)
+        # clampabs via where, not jnp.maximum: after the step-level
+        # embedding_positivity mutation the table is >= 1e-4 with entries AT
+        # the boundary (the clamped ones), and jnp.maximum splits the
+        # gradient 0.5/0.5 on ties — torch's in-place mutation gives those
+        # weights gradient 1.0. where routes the full gradient through the
+        # selected branch: identity for |W| >= 1e-4 (boundary included),
+        # matching torch exactly; on raw signed params (standalone apply)
+        # the forward values still reproduce the reference's clampabs
+        pos_abs = jnp.abs(table)
+        pos_table = jnp.where(pos_abs >= 1e-4, pos_abs, 1e-4)
         emb = scaled_embedding_lookup(pos_table, ids, values,
                                       nemb=self.nemb)             # [B,F,E] > 0
 

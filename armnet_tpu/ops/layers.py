@@ -139,8 +139,16 @@ class _TorchBN(nn.Module):
         else:
             xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mask = current_batch_mask()
-            if (mask is not None and ch != 0
-                    and mask.shape[0] == x.shape[0]):
+            if mask is not None and (ch == 0
+                                     or mask.shape[0] != x.shape[0]):
+                # fail loudly rather than silently fall back to pad-polluted
+                # statistics: every BN in the zoo is batch-led (audited r5),
+                # so a mismatch means a new call site broke the contract
+                raise ValueError(
+                    f"batch_mask_scope active (mask {mask.shape}) but this "
+                    f"BatchNorm input {x.shape} (channel axis {ch}) is not "
+                    f"batch-led; masked statistics cannot be applied")
+            if mask is not None:
                 # masked statistics: the loader pads the final partial batch
                 # with mask-0 rows (static shapes for XLA); the torch
                 # reference's last batch is genuinely small, so parity

@@ -217,15 +217,18 @@ class Trainer:
                      else "binary")
         _, _, self.metric_name = task_fns(self.task)
         from armnet_tpu.models import param_transform_for
-        ptrans = param_transform_for(config.model)
+        self.param_transform = param_transform_for(config.model)
         self.train_step = make_train_step(shardings=shardings,
                                           lookup_cm=lookup_cm, task=self.task,
                                           overflow_fn=self.overflow_fn,
-                                          param_transform=ptrans)
+                                          param_transform=self.param_transform)
+        # eval applies the param mutation ONCE per evaluation pass (params
+        # are constant across it), not per jitted batch step — at Criteo
+        # scale the per-batch abs+max would re-touch an 84 MB table for
+        # every eval batch
         self.eval_step = make_eval_step(shardings=shardings,
                                         lookup_cm=lookup_cm, task=self.task,
-                                        overflow_fn=self.overflow_fn,
-                                        param_transform=ptrans)
+                                        overflow_fn=self.overflow_fn)
         self.rng = jax.random.key(seed + 7)
 
     def fit(self, epochs, patience=1, eval_freq=10000, report_freq=30):
@@ -256,13 +259,16 @@ class Trainer:
                 jax.profiler.stop_trace()
                 self.logger.info(f"profiler trace written to "
                                  f"{self.profile_dir}")
+            eval_state = (self.state.replace(
+                params=self.param_transform(self.state.params))
+                if self.param_transform else self.state)
             _, valid_auc = run_epoch(
-                epoch, self.state, val_loader, self.logger,
+                epoch, eval_state, val_loader, self.logger,
                 eval_step=self.eval_step, namespace="val",
                 report_freq=report_freq, eval_freq=eval_freq,
                 total_epochs=epochs, metric_name=self.metric_name)
             _, test_auc = run_epoch(
-                epoch, self.state, test_loader, self.logger,
+                epoch, eval_state, test_loader, self.logger,
                 eval_step=self.eval_step, namespace="test",
                 report_freq=report_freq, eval_freq=eval_freq,
                 total_epochs=epochs, metric_name=self.metric_name)

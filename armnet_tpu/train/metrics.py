@@ -48,20 +48,28 @@ def masked_roc_auc(logits, labels, mask=None):
 
 
 def masked_bce(logits, labels, mask):
-    """Mean sigmoid-BCE over valid rows (BCEWithLogitsLoss parity)."""
+    """Mean sigmoid-BCE over valid rows (BCEWithLogitsLoss parity).
+
+    where, not `losses * mask`: pad rows are outside every distributional
+    guarantee (masked BN statistics exclude them, r5), so a pad logit can
+    be arbitrarily large or non-finite — and inf * 0 = NaN would poison
+    the batch loss. where zeroes the pad lane before the sum."""
     logits = logits.astype(jnp.float32)
     losses = optax.sigmoid_binary_cross_entropy(logits, labels)
-    return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    losses = jnp.where(mask > 0, losses, 0.0)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def masked_softmax_ce(logits, labels, mask):
     """Mean softmax cross-entropy over valid rows; logits [B, C], labels [B]
     class indices (float-carried in the batch schema, cast here). The UCI
-    multi-class loss (reference uci branch trains CrossEntropyLoss)."""
+    multi-class loss (reference uci branch trains CrossEntropyLoss).
+    where-guarded like masked_bce (pad logits may be non-finite)."""
     labels = labels.astype(jnp.int32)
     losses = optax.softmax_cross_entropy_with_integer_labels(
         logits.astype(jnp.float32), labels)
-    return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    losses = jnp.where(mask > 0, losses, 0.0)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def masked_accuracy(logits, labels, mask, topk=1):

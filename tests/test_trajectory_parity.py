@@ -241,7 +241,7 @@ def test_afn_trajectory_matches_reference():
 
 
 def test_dnn_trajectory_matches_reference():
-    """25 identical Adam steps on DNN (embedding -> MLP with BatchNorm):
+    """10 identical Adam steps on DNN (embedding -> MLP with BatchNorm):
     pins the torch-exact BN running-stat semantics (_TorchBN: unbiased
     running variance) through the MLP path every deep model shares —
     eval-mode logits read the running stats, so a biased-var store (the
